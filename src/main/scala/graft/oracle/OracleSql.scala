@@ -1,0 +1,117 @@
+package graft.oracle
+
+import graft.synth.{Dict, TranscriptGen}
+
+/** DuckDB oracle CTE fragments mirroring each pipeline stage.
+  *
+  * The driver runs these against the same parquet tables (registered as
+  * `events`, `lineitem`, …) and hash-compares against the Spark results —
+  * this is the correctness gate. Fragments are composed from the same
+  * literal dictionaries as the Spark code (graft.synth.Dict), so dictionary
+  * edits can never desynchronize the oracle.
+  */
+object OracleSql {
+
+  /** `WITH persons…, fracties…, transcripts AS (…)` prefix + extra CTEs. */
+  def withCtes(extra: String*)(finalSelect: String): String = {
+    val ctes = (TranscriptGen.transcriptsSql +: extra).mkString(",\n")
+    s"WITH $ctes\n$finalSelect"
+  }
+
+  val proceduralFilter: String =
+    "NOT regexp_matches(lower(text), '(opening|sluiting|aanvang|einde vergadering|geschorst)')"
+
+  /** Speaker mentions (mirrors Extract.speakerMentions). */
+  val speakerMentionsCte: String =
+    s"""sm_raw AS (
+       |  SELECT conv_id, turn_idx,
+       |         regexp_extract(text, 'het woord aan (.+)$$', 1) AS woord_aan,
+       |         regexp_extract(text, '^Mevrouw (.+) spreekt over', 1) AS spreekt,
+       |         regexp_extract(text, '^De heer (.+) interrumpeert', 1) AS inter,
+       |         regexp_extract(text, '^(.+) vraagt een reactie', 1) AS reactie
+       |  FROM transcripts
+       |  WHERE $proceduralFilter),
+       |sm_kind AS (
+       |  SELECT conv_id, turn_idx,
+       |         CASE WHEN woord_aan <> '' THEN 'woord_aan'
+       |              WHEN spreekt <> '' THEN 'spreekt'
+       |              WHEN inter <> '' THEN 'interrumpeert'
+       |              WHEN reactie <> '' THEN 'reactie' END AS kind,
+       |         CASE WHEN woord_aan <> '' THEN woord_aan ELSE reactie END AS full_name,
+       |         CASE WHEN spreekt <> '' THEN spreekt ELSE inter END AS sur
+       |  FROM sm_raw),
+       |speaker_mentions AS (
+       |  SELECT conv_id, turn_idx, kind,
+       |         CASE WHEN full_name <> '' THEN regexp_extract(full_name, '^(\\S+) ', 1) ELSE '' END AS v_first,
+       |         CASE WHEN full_name <> '' THEN regexp_extract(full_name, '^\\S+ (.+)$$', 1) ELSE sur END AS v_last
+       |  FROM sm_kind
+       |  WHERE kind IS NOT NULL
+       |    AND (CASE WHEN full_name <> '' THEN regexp_extract(full_name, '^\\S+ (.+)$$', 1) ELSE sur END) <> '')""".stripMargin
+
+  /** Case mentions (mirrors Extract.caseMentions). */
+  val caseMentionsCte: String =
+    s"""cm_raw AS (
+       |  SELECT conv_id, turn_idx,
+       |         regexp_extract(text, 'dossier (\\d+(?:-[A-Za-z0-9]+)?)', 1) AS dossier_code,
+       |         regexp_extract(text, 'nr\\. (\\d+)', 1) AS stuk_raw
+       |  FROM transcripts
+       |  WHERE $proceduralFilter),
+       |case_mentions AS (
+       |  SELECT conv_id, turn_idx,
+       |         CAST(regexp_extract(dossier_code, '^(\\d+)(?:[-\\s]?([A-Za-z0-9]+))?$$', 1) AS INT) AS dossier_nr,
+       |         regexp_extract(dossier_code, '^(\\d+)(?:[-\\s]?([A-Za-z0-9]+))?$$', 2) AS toevoeging,
+       |         CASE WHEN stuk_raw <> '' THEN CAST(stuk_raw AS INT) END AS stuk_nr
+       |  FROM cm_raw WHERE dossier_code <> '')""".stripMargin
+
+  /** Vote mentions (mirrors Extract.voteMentions). */
+  val voteMentionsCte: String =
+    s"""vote_mentions AS (
+       |  SELECT conv_id, turn_idx,
+       |         regexp_extract(text, '^De fractie (.+) stemt ', 1) AS fractie_naam,
+       |         regexp_extract(text, ' stemt (voor|tegen|onthouding)$$', 1) AS vote_norm
+       |  FROM transcripts
+       |  WHERE $proceduralFilter
+       |    AND regexp_extract(text, '^De fractie (.+) stemt ', 1) <> ''
+       |    AND regexp_extract(text, ' stemt (voor|tegen|onthouding)$$', 1) <> '')""".stripMargin
+
+  /** Person linking (mirrors Link.linkPersons over the clean dictionary:
+    * exact-surname block, so the oracle scores reduce to exact arithmetic).
+    */
+  val linkPersonsCte: String =
+    s"""lp_cand AS (
+       |  SELECT s.conv_id, s.turn_idx, s.v_first, s.v_last, p.persoon_id, p.fractie_id,
+       |         60 + CASE WHEN s.v_first <> '' AND lower(s.v_first) = lower(p.roepnaam)
+       |                   THEN 40 ELSE 0 END AS score
+       |  FROM speaker_mentions s
+       |  JOIN persons p
+       |    ON lower(s.v_last) IN (lower(p.achternaam),
+       |         lower(concat_ws(' ', nullif(p.tussenvoegsel, ''), p.achternaam)))),
+       |linked_persons AS (
+       |  SELECT conv_id, turn_idx, v_first, v_last, persoon_id, fractie_id, score,
+       |         CASE WHEN score >= 90 THEN 'EXACT' ELSE 'FUZZY' END AS match_type
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx, v_first, v_last
+       |                                     ORDER BY score DESC, persoon_id) AS rn
+       |        FROM lp_cand WHERE score >= 60)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** Zaak linking tier cascade (mirrors Link.linkZaken). */
+  val linkZakenCte: String =
+    s"""linked_zaken AS (
+       |  SELECT cm.conv_id, cm.turn_idx, cm.dossier_nr, cm.stuk_nr, cm.toevoeging,
+       |         COALESCE(z.zaak_id, 'D' || CAST(d.dossier_nr AS VARCHAR),
+       |                  CASE WHEN doc.dossier_nr IS NOT NULL
+       |                       THEN 'DOC' || CAST(doc.dossier_nr AS VARCHAR) || '-' || CAST(doc.volgnummer AS VARCHAR) END)
+       |           AS entity_id,
+       |         CASE WHEN z.zaak_id IS NOT NULL THEN 100
+       |              WHEN d.dossier_nr IS NOT NULL THEN 75
+       |              WHEN doc.dossier_nr IS NOT NULL THEN 60 ELSE 0 END AS score,
+       |         CASE WHEN z.zaak_id IS NOT NULL THEN 'EXACT'
+       |              WHEN d.dossier_nr IS NOT NULL OR doc.dossier_nr IS NOT NULL THEN 'FALLBACK'
+       |              ELSE 'NO_MATCH' END AS match_type
+       |  FROM case_mentions cm
+       |  LEFT JOIN zaken z ON cm.dossier_nr = z.dossier_nr AND cm.stuk_nr = z.stuk_nr
+       |  LEFT JOIN dossiers d ON cm.dossier_nr = d.dossier_nr
+       |  LEFT JOIN docs doc ON cm.dossier_nr = doc.dossier_nr AND cm.stuk_nr = doc.volgnummer)""".stripMargin
+
+  def zakenCtes: Seq[String] = Seq(Dict.zakenSql, Dict.dossiersSql, Dict.documentsSql)
+}
