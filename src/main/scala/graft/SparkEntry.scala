@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.analysis.{Interruptions, Voting}
 import graft.extract.Extract
 import graft.functions.FuzzRatio
 import graft.link.Link
@@ -21,6 +22,16 @@ object SparkEntry {
 
   private def turns(spark: SparkSession, dir: String): DataFrame =
     TranscriptGen.transcripts(init(spark), dir)
+
+  /** Linked speaker sequence (conv_id, turn_idx, speaker=persoon_id) — the
+    * input to the W1/W2 sequence analyses.
+    */
+  private def linkedSpeakers(s: SparkSession, dir: String): DataFrame =
+    Link.linkPersons(Extract.speakerMentions(turns(s, dir)), Dict.personsDf(s))
+      .select(col("conv_id"), col("turn_idx"), col("persoon_id").as("speaker"))
+
+  private def votes(s: SparkSession, dir: String): DataFrame =
+    Extract.voteMentions(turns(s, dir))
 
   /** Flagship: full mention→link slice on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -84,6 +95,43 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "dossier_nr", "stuk_nr", "entity_id",
           "score", "match_type")
         .orderBy("conv_id", "turn_idx", "dossier_nr")
+    }),
+
+    // Analysis: W1 lag/lead interruption detection + classification
+    "kg_interruptions" -> ((s, dir) => {
+      Interruptions.detect(linkedSpeakers(s, dir))
+        .select("conv_id", "turn_idx", "interrupter", "interrupted", "itype")
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // Analysis: A8 interruption pairs (partial-agg groupBy)
+    "kg_interruption_pairs" -> ((s, dir) => {
+      Interruptions.pairs(Interruptions.detect(linkedSpeakers(s, dir)))
+    }),
+
+    // Analysis: A10 response patterns
+    "kg_response_patterns" -> ((s, dir) => {
+      Interruptions.responsePatterns(Interruptions.detect(linkedSpeakers(s, dir)))
+    }),
+
+    // Analysis: A2/A12 per-conversation consensus + classification
+    "kg_vote_consensus" -> ((s, dir) => {
+      Voting.consensus(votes(s, dir), Seq("conv_id")).orderBy("conv_id")
+    }),
+
+    // Analysis: A1 per-event vote breakdown with sorted fractie list
+    "kg_vote_breakdown" -> ((s, dir) => {
+      Voting.breakdown(votes(s, dir), Seq("conv_id")).orderBy("conv_id", "vote_norm")
+    }),
+
+    // Analysis: A3 fractie alignment
+    "kg_fractie_alignment" -> ((s, dir) => {
+      Voting.fractieAlignment(votes(s, dir)).orderBy("fractie_naam")
+    }),
+
+    // Analysis: A5 vote-type distribution
+    "kg_vote_distribution" -> ((s, dir) => {
+      Voting.distribution(votes(s, dir)).orderBy("vote_norm")
     })
   )
 
@@ -118,6 +166,60 @@ object SparkEntry {
     "kg_link_zaken" -> OracleSql.withCtes(
       (OracleSql.caseMentionsCte +: OracleSql.zakenCtes :+ OracleSql.linkZakenCte): _*)(
       """SELECT conv_id, turn_idx, dossier_nr, stuk_nr, entity_id, score, match_type
-        |FROM linked_zaken ORDER BY conv_id, turn_idx, dossier_nr""".stripMargin)
+        |FROM linked_zaken ORDER BY conv_id, turn_idx, dossier_nr""".stripMargin),
+
+    "kg_interruptions" -> OracleSql.withCtes(
+      OracleSql.speakerMentionsCte, OracleSql.linkPersonsCte, OracleSql.interruptionsCte)(
+      """SELECT conv_id, turn_idx, interrupter, interrupted, itype
+        |FROM interruptions ORDER BY conv_id, turn_idx""".stripMargin),
+
+    "kg_interruption_pairs" -> OracleSql.withCtes(
+      OracleSql.speakerMentionsCte, OracleSql.linkPersonsCte, OracleSql.interruptionsCte)(
+      """SELECT interrupter, interrupted, COUNT(*) AS n
+        |FROM interruptions GROUP BY 1, 2
+        |ORDER BY n DESC, interrupter, interrupted""".stripMargin),
+
+    "kg_response_patterns" -> OracleSql.withCtes(
+      OracleSql.speakerMentionsCte, OracleSql.linkPersonsCte, OracleSql.interruptionsCte)(
+      """SELECT interrupted AS responder, interrupter AS responded_to, COUNT(*) AS n
+        |FROM interruptions WHERE itype = 'INTERRUPTION_WITH_RESPONSE'
+        |GROUP BY 1, 2 ORDER BY n DESC, responder, responded_to""".stripMargin),
+
+    "kg_vote_consensus" -> OracleSql.withCtes(OracleSql.voteMentionsCte)(
+      """SELECT conv_id, voor, tegen, onthouding, total,
+        |       CAST(CASE WHEN total > 0
+        |            THEN FLOOR(GREATEST(voor, tegen) * 1000 / total) ELSE 0 END AS INT)
+        |         AS consensus_permille,
+        |       CASE WHEN total > 0 AND FLOOR(GREATEST(voor, tegen) * 1000 / total) >= 950 THEN 'unanimous'
+        |            WHEN total = 0 OR FLOOR(GREATEST(voor, tegen) * 1000 / total) < 800 THEN 'controversial'
+        |            ELSE 'normal' END AS classification
+        |FROM (SELECT conv_id,
+        |             CAST(SUM(CASE WHEN vote_norm = 'voor' THEN 1 ELSE 0 END) AS BIGINT) AS voor,
+        |             CAST(SUM(CASE WHEN vote_norm = 'tegen' THEN 1 ELSE 0 END) AS BIGINT) AS tegen,
+        |             CAST(SUM(CASE WHEN vote_norm = 'onthouding' THEN 1 ELSE 0 END) AS BIGINT) AS onthouding,
+        |             CAST(COUNT(*) AS BIGINT) AS total
+        |      FROM vote_mentions GROUP BY conv_id)
+        |ORDER BY conv_id""".stripMargin),
+
+    "kg_vote_breakdown" -> OracleSql.withCtes(OracleSql.voteMentionsCte)(
+      """SELECT conv_id, vote_norm, COUNT(*) AS n,
+        |       string_agg(DISTINCT fractie_naam, ',' ORDER BY fractie_naam) AS fracties
+        |FROM vote_mentions GROUP BY 1, 2 ORDER BY conv_id, vote_norm""".stripMargin),
+
+    "kg_fractie_alignment" -> OracleSql.withCtes(OracleSql.voteMentionsCte)(
+      """SELECT fractie_naam, voor, tegen, onthouding, total,
+        |       CAST(CASE WHEN total > 0 THEN FLOOR(voor * 1000 / total) ELSE 0 END AS INT)
+        |         AS voor_permille
+        |FROM (SELECT fractie_naam,
+        |             CAST(SUM(CASE WHEN vote_norm = 'voor' THEN 1 ELSE 0 END) AS BIGINT) AS voor,
+        |             CAST(SUM(CASE WHEN vote_norm = 'tegen' THEN 1 ELSE 0 END) AS BIGINT) AS tegen,
+        |             CAST(SUM(CASE WHEN vote_norm = 'onthouding' THEN 1 ELSE 0 END) AS BIGINT) AS onthouding,
+        |             CAST(COUNT(*) AS BIGINT) AS total
+        |      FROM vote_mentions GROUP BY fractie_naam)
+        |ORDER BY fractie_naam""".stripMargin),
+
+    "kg_vote_distribution" -> OracleSql.withCtes(OracleSql.voteMentionsCte)(
+      """SELECT vote_norm, COUNT(*) AS n
+        |FROM vote_mentions GROUP BY 1 ORDER BY vote_norm""".stripMargin)
   )
 }

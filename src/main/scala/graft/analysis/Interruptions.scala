@@ -1,0 +1,66 @@
+package graft.analysis
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.InterruptionType
+
+/** Sequential interruption detection — the Spark window re-expression of the
+  * reference's adjacent-speaker scan (src/vlos/analyzers/interruption_analyzer.py:191-238):
+  * for speaker sequence …A,B,A… the middle turn is an interruption of A by B;
+  * if the next speaker is again A it is INTERRUPTION_WITH_RESPONSE, else
+  * SIMPLE_INTERRUPTION.
+  *
+  * Scale note: the lag/lead window needs `(partition key) ordered by turn_idx`.
+  * Partitioning on conv_id means one reducer per conversation — giant
+  * conversations are the skew risk (SURVEY.md §7.4); callers at scale should
+  * `repartitionByRange($"conv_id", $"turn_idx")` first so AQE can split, and
+  * conversations are bounded in practice (turns/conv ≪ partition size).
+  */
+object Interruptions {
+
+  /** Input: speaker-bearing turns (conv_id, turn_idx, speaker[, partition cols]).
+    * Output: one row per interruption event with its classification.
+    */
+  def detect(speakerTurns: DataFrame,
+      partitionCols: Seq[String] = Seq("conv_id")): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy("turn_idx")
+    speakerTurns
+      .withColumn("prev_speaker", lag("speaker", 1).over(w))
+      .withColumn("next_speaker", lead("speaker", 1).over(w))
+      .where(col("prev_speaker").isNotNull && col("prev_speaker") =!= col("speaker"))
+      .withColumn("itype",
+        when(col("next_speaker").isNotNull && col("next_speaker") === col("prev_speaker"),
+          InterruptionType.WithResponse)
+          .otherwise(InterruptionType.Simple))
+      .withColumnRenamed("speaker", "interrupter")
+      .withColumnRenamed("prev_speaker", "interrupted")
+      .drop("next_speaker")
+  }
+
+  /** A6: interruption type counts. */
+  def typeCounts(events: DataFrame): DataFrame =
+    events.groupBy("itype").agg(count(lit(1)).as("n"))
+
+  /** A7: most frequent interrupters (desc count, stable tie-break). */
+  def topInterrupters(events: DataFrame): DataFrame =
+    events.groupBy("interrupter").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("interrupter"))
+
+  /** A8: interruption pairs A→B with counts. Partial aggregation (map-side
+    * combine) makes the hot-chair key a non-issue at scale.
+    */
+  def pairs(events: DataFrame): DataFrame =
+    events.groupBy("interrupter", "interrupted").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("interrupter"), col("interrupted"))
+
+  /** A10: response patterns — who responded to whom (the interrupted speaker
+    * responding after an INTERRUPTION_WITH_RESPONSE event) —
+    * reference interruption_analyzer.py:160-179.
+    */
+  def responsePatterns(events: DataFrame): DataFrame =
+    events.where(col("itype") === InterruptionType.WithResponse)
+      .groupBy(col("interrupted").as("responder"), col("interrupter").as("responded_to"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("responder"), col("responded_to"))
+}

@@ -114,4 +114,20 @@ object OracleSql {
        |  LEFT JOIN docs doc ON cm.dossier_nr = doc.dossier_nr AND cm.stuk_nr = doc.volgnummer)""".stripMargin
 
   def zakenCtes: Seq[String] = Seq(Dict.zakenSql, Dict.dossiersSql, Dict.documentsSql)
+
+  /** W1 interruption detection over the linked speaker sequence
+    * (mirrors analysis.Interruptions.detect over Link.linkPersons output).
+    */
+  val interruptionsCte: String =
+    s"""interruptions AS (
+       |  SELECT conv_id, turn_idx, speaker AS interrupter, prev AS interrupted,
+       |         CASE WHEN nxt IS NOT NULL AND nxt = prev
+       |              THEN 'INTERRUPTION_WITH_RESPONSE'
+       |              ELSE 'SIMPLE_INTERRUPTION' END AS itype
+       |  FROM (SELECT conv_id, turn_idx, persoon_id AS speaker,
+       |               LAG(persoon_id) OVER w AS prev,
+       |               LEAD(persoon_id) OVER w AS nxt
+       |        FROM linked_persons
+       |        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+       |  WHERE prev IS NOT NULL AND prev <> speaker)""".stripMargin
 }
