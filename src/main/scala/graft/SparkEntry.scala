@@ -33,12 +33,11 @@ object SparkEntry {
   private def votes(s: SparkSession, dir: String): DataFrame =
     Extract.voteMentions(turns(s, dir))
 
-  /** Flagship: full mention→link slice on sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val t = turns(spark, dir)
-    Link.linkPersons(Extract.speakerMentions(t), Dict.personsDf(spark))
-  }
+  /** Flagship: the full extract→link→triples→canonicalize pipeline on
+    * sf0.001; driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame =
+    graft.pipeline.Pipeline.build(spark, turns(spark, "/root/testdata/sf0.001")).canonical
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/P1/P2 + A-family: pruned scan + aggregation (pushdown visible in plan)
@@ -132,6 +131,18 @@ object SparkEntry {
     // Analysis: A5 vote-type distribution
     "kg_vote_distribution" -> ((s, dir) => {
       Voting.distribution(votes(s, dir)).orderBy("vote_norm")
+    }),
+
+    // Triples: the full typed (subj, pred, obj) set (north-rule output unit)
+    "kg_triples" -> ((s, dir) => {
+      graft.pipeline.Pipeline.build(s, turns(s, dir)).triples
+        .orderBy("subj", "pred", "obj")
+    }),
+
+    // Canonicalize: triples after connected-components entity resolution
+    "kg_canonical_triples" -> ((s, dir) => {
+      graft.pipeline.Pipeline.build(s, turns(s, dir)).canonical
+        .orderBy("subj", "pred", "obj")
     })
   )
 
@@ -220,6 +231,13 @@ object SparkEntry {
 
     "kg_vote_distribution" -> OracleSql.withCtes(OracleSql.voteMentionsCte)(
       """SELECT vote_norm, COUNT(*) AS n
-        |FROM vote_mentions GROUP BY 1 ORDER BY vote_norm""".stripMargin)
+        |FROM vote_mentions GROUP BY 1 ORDER BY vote_norm""".stripMargin),
+
+    "kg_triples" -> OracleSql.withCtes(OracleSql.tripleChain: _*)(
+      "SELECT subj, pred, obj FROM triples ORDER BY subj, pred, obj"),
+
+    "kg_canonical_triples" -> OracleSql.withCtes(
+      (OracleSql.tripleChain :+ OracleSql.canonicalCtes): _*)(
+      "SELECT subj, pred, obj FROM canonical_triples ORDER BY subj, pred, obj")
   )
 }

@@ -1,0 +1,97 @@
+package graft.canonicalize
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge DataFrame via alternating
+  * large-star / small-star (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC'14) — the canonicalization primitive of the
+  * north rule, replacing the reference's in-memory PROCESSED-set +
+  * Neo4j-MERGE-key entity canonicalization (SURVEY.md §7.2 step 6).
+  *
+  * Design for 10^12-edge scale:
+  *  - No per-node adjacency materialization (`collect_set` would OOM on hot
+  *    hubs like the chair): both star operations are expressed as a per-node
+  *    `min` aggregation joined back edge-at-a-time, so partial aggregation
+  *    (map-side combine) absorbs skew and the shuffle carries one row per
+  *    (node, min) + one per edge.
+  *  - O(log n) rounds (vs O(diameter) for naive label propagation).
+  *  - `localCheckpoint` each round cuts the exponentially-growing lineage
+  *    (SURVEY.md §7.4).
+  *  - Convergence detection via a count+checksum pair — one cheap aggregate
+  *    per round instead of a full self-join diff.
+  */
+object ConnectedComponents {
+
+  /** `edges(u, v)`: undirected string-keyed edges. Returns `(node, component)`
+    * for every node incident to an edge, where `component` is the
+    * lexicographically smallest node in its component (deterministic
+    * canonical representative). Isolated nodes don't appear — callers union
+    * them back with `component = node`.
+    */
+  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    require(maxIter > 0)
+    var e = edges.select(col("u").cast("string"), col("v").cast("string"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    var sig = signature(e)
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
+      iter += 1
+    }
+    // At convergence every edge is (child, root): project to labels, and give
+    // roots their own label row.
+    val child = e.select(col("u").as("node"), col("v").as("component"))
+    val roots = e.select(col("v").as("node"), col("v").as("component")).distinct()
+    child.unionByName(roots).groupBy("node").agg(min("component").as("component"))
+  }
+
+  /** (row count, order-insensitive hash) — equal signatures ⇒ same edge set
+    * (modulo an astronomically unlikely 64-bit collision; acceptable for a
+    * convergence test bounded by maxIter anyway). `bit_xor` rather than `sum`:
+    * commutative, and cannot overflow under ANSI mode.
+    */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val r = e.agg(
+      count(lit(1)).as("n"),
+      coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Large-star: for each node u over its full (symmetric) neighborhood,
+    * m = min(N(u) ∪ {u}); connect every strictly-larger neighbor to m.
+    */
+  private[canonicalize] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u")
+      .agg(least(min("v"), first("u")).as("m"))
+    sym.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: orient each edge high→low; for each node u over its smaller
+    * neighbors, m = min; connect every smaller neighbor (and u itself) to m.
+    */
+  private[canonicalize] def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e.select(
+      greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val mins = oriented.groupBy("u").agg(min("v").as("m"))
+    val neighborToMin = oriented.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+    val selfToMin = mins.select(col("u"), col("m").as("v"))
+    neighborToMin.unionByName(selfToMin)
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+}

@@ -12,10 +12,13 @@ import graft.synth.{Dict, TranscriptGen}
   */
 object OracleSql {
 
-  /** `WITH persons…, fracties…, transcripts AS (…)` prefix + extra CTEs. */
+  /** `WITH persons…, fracties…, transcripts AS (…)` prefix + extra CTEs.
+    * RECURSIVE so CC closure CTEs can appear anywhere in the chain (harmless
+    * for non-recursive ones).
+    */
   def withCtes(extra: String*)(finalSelect: String): String = {
     val ctes = (TranscriptGen.transcriptsSql +: extra).mkString(",\n")
-    s"WITH $ctes\n$finalSelect"
+    s"WITH RECURSIVE $ctes\n$finalSelect"
   }
 
   val proceduralFilter: String =
@@ -130,4 +133,90 @@ object OracleSql {
        |        FROM linked_persons
        |        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
        |  WHERE prev IS NOT NULL AND prev <> speaker)""".stripMargin
+
+  private val mentionKey =
+    "'mention:' || md5(concat_ws('|', conv_id, CAST(turn_idx AS VARCHAR), v_first, v_last))"
+  private val voteKey =
+    "'vote:' || md5(concat_ws('|', conv_id, CAST(turn_idx AS VARCHAR), fractie_naam, vote_norm))"
+
+  /** Full triple set (mirrors triples.Triples.all). Branch preds are disjoint,
+    * so SQL UNION's cross-branch dedup matches Spark's per-branch distinct.
+    * Requires: linked_persons, linked_zaken, vote_mentions, interruptions,
+    * persons, fracties.
+    */
+  val triplesCte: String =
+    s"""triples AS (
+       |  SELECT DISTINCT $mentionKey AS subj, 'MATCHES_PERSOON' AS pred,
+       |         'persoon:' || persoon_id AS obj
+       |  FROM linked_persons
+       |  UNION
+       |  SELECT DISTINCT 'persoon:' || persoon_id, 'SPOKE_IN', 'conv:' || conv_id
+       |  FROM linked_persons
+       |  UNION
+       |  SELECT DISTINCT 'persoon:' || lp.persoon_id,
+       |         CASE WHEN lz.match_type = 'EXACT' THEN 'DISCUSSES_ZAAK'
+       |              ELSE 'DISCUSSES_DOSSIER' END,
+       |         'zaak:' || lz.entity_id
+       |  FROM linked_persons lp
+       |  JOIN linked_zaken lz USING (conv_id, turn_idx)
+       |  WHERE lz.entity_id IS NOT NULL
+       |  UNION
+       |  SELECT DISTINCT 'conv:' || conv_id, 'CONTAINS_SPEAKER', 'persoon:' || persoon_id
+       |  FROM linked_persons
+       |  UNION
+       |  SELECT DISTINCT 'conv:' || conv_id, 'CONTAINS_ZAAK', 'zaak:' || entity_id
+       |  FROM linked_zaken WHERE entity_id IS NOT NULL
+       |  UNION
+       |  SELECT DISTINCT 'persoon:' || persoon_id, 'MEMBER_OF', 'fractie:' || fractie_id
+       |  FROM persons
+       |  UNION
+       |  SELECT DISTINCT 'persoon:' || interrupter, 'INTERRUPTED_IN', 'conv:' || conv_id
+       |  FROM interruptions
+       |  UNION
+       |  SELECT DISTINCT 'persoon:' || interrupted, 'WAS_INTERRUPTED_IN', 'conv:' || conv_id
+       |  FROM interruptions
+       |  UNION
+       |  SELECT DISTINCT 'persoon:' || interrupted, 'RESPONDED_IN', 'conv:' || conv_id
+       |  FROM interruptions WHERE itype = 'INTERRUPTION_WITH_RESPONSE'
+       |  UNION
+       |  SELECT DISTINCT 'conv:' || conv_id, 'HAS_FRACTIE_VOTE', $voteKey
+       |  FROM vote_mentions
+       |  UNION
+       |  SELECT DISTINCT $voteKey, 'CAST_BY_FRACTIE', 'fractie:' || f.fractie_id
+       |  FROM vote_mentions v JOIN fracties f ON v.fractie_naam = f.naam)""".stripMargin
+
+  /** Connected components via recursive min-reachability closure (the small
+    * scale oracle for the large-star/small-star implementation) + canonical
+    * map + triple rewrite (mirrors canonicalize.Canonicalize).
+    */
+  val canonicalCtes: String =
+    s"""cc_edges AS (
+       |  SELECT DISTINCT $mentionKey AS u, 'persoon:' || persoon_id AS v
+       |  FROM linked_persons),
+       |cc_undir AS (SELECT u, v FROM cc_edges UNION SELECT v AS u, u AS v FROM cc_edges),
+       |cc_reach AS (
+       |  SELECT u AS node, u AS comp FROM cc_undir
+       |  UNION
+       |  SELECT e.v AS node, r.comp FROM cc_reach r JOIN cc_undir e ON e.u = r.node),
+       |cc_components AS (SELECT node, MIN(comp) AS component FROM cc_reach GROUP BY node),
+       |canon_map AS (
+       |  SELECT c.node, COALESCE(b.entity_min, b.node_min) AS canon
+       |  FROM cc_components c JOIN (
+       |    SELECT component,
+       |           MIN(CASE WHEN node LIKE 'persoon:%' THEN node END) AS entity_min,
+       |           MIN(node) AS node_min
+       |    FROM cc_components GROUP BY component) b USING (component)),
+       |canonical_triples AS (
+       |  SELECT DISTINCT COALESCE(sm.canon, t.subj) AS subj, t.pred,
+       |         COALESCE(om.canon, t.obj) AS obj
+       |  FROM triples t
+       |  LEFT JOIN canon_map sm ON sm.node = t.subj
+       |  LEFT JOIN canon_map om ON om.node = t.obj
+       |  WHERE NOT (COALESCE(sm.canon, t.subj) = COALESCE(om.canon, t.obj)
+       |             AND t.pred = 'MATCHES_PERSOON'))""".stripMargin
+
+  /** The CTE chain every triple-level query needs. */
+  def tripleChain: Seq[String] =
+    Seq(speakerMentionsCte, linkPersonsCte, caseMentionsCte) ++
+      zakenCtes ++ Seq(linkZakenCte, voteMentionsCte, interruptionsCte, triplesCte)
 }

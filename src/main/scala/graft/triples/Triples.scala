@@ -1,0 +1,126 @@
+package graft.triples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analysis.Interruptions
+import graft.functions.TextFunctions
+import graft.model.{InterruptionType, Pred}
+
+/** Triple extraction — emits the typed `(subj, pred, obj)` Dataset that is the
+  * canonical output unit of the pipeline (north rule), re-expressing the
+  * reference's per-match Neo4j MERGE calls
+  * (src/loaders/vlos_neo4j_loader.py:213-544) as declarative unions.
+  *
+  * Node-key convention: keys are namespaced (`persoon:P03`, `conv:c17`,
+  * `zaak:Z36001-2`, `fractie:F05`, `mention:<md5>`, `vote:<md5>`) so one
+  * string column carries (label, business key) — the reference's
+  * (label, key-prop) pair (src/utils/helpers.py:13-27). Synthetic IDs are
+  * content-stable md5 (the reference's process-salted Python `hash` is a
+  * documented non-determinism we deliberately fix — SURVEY.md §7.4 / F13).
+  *
+  * Scale: every branch below is a narrow projection or a per-key
+  * partial-aggregated distinct over already-linked rows; the only joins are
+  * same-key equi-joins on `(conv_id, turn_idx)` (co-partitioned) and a
+  * broadcast dim join for vote→fractie (J12). `unionByName` of the branches
+  * introduces no shuffle of its own.
+  */
+object Triples {
+
+  private val P = "persoon:"
+  private val C = "conv:"
+  private val F = "fractie:"
+
+  private def zaakKey = concat(lit("zaak:"), col("entity_id"))
+  private def persoonKey = concat(lit(P), col("persoon_id"))
+  private def convKey = concat(lit(C), col("conv_id"))
+
+  private def tri(subj: org.apache.spark.sql.Column, pred: String,
+      obj: org.apache.spark.sql.Column)(df: DataFrame): DataFrame =
+    df.select(subj.as("subj"), lit(pred).as("pred"), obj.as("obj")).distinct()
+
+  /** Mention provenance: VlosSpeaker-node MATCHES_PERSOON edge
+    * (reference vlos_neo4j_loader.py:239-258).
+    */
+  def mentionMatches(linkedPersons: DataFrame): DataFrame =
+    tri(
+      concat(lit("mention:"), TextFunctions.stableId(
+        col("conv_id"), col("turn_idx"), col("v_first"), col("v_last"))),
+      Pred.MatchesPersoon, persoonKey)(linkedPersons)
+
+  /** (persoon, SPOKE_IN, conv) — reference loader :258-318. */
+  def spokeIn(linkedPersons: DataFrame): DataFrame =
+    tri(persoonKey, Pred.SpokeIn, convKey)(linkedPersons)
+
+  /** Same-turn speaker × case co-occurrence → DISCUSSES_ZAAK (tier-1 zaak
+    * match) or DISCUSSES_DOSSIER (dossier/document fallback tiers) —
+    * reference connection semantics vlos_pipeline.py:324-353 with tier split
+    * per :280-308. Equi-join on (conv_id, turn_idx): both sides derive from
+    * the same scan, so at scale this is a co-partitioned join.
+    */
+  def discusses(linkedPersons: DataFrame, linkedZaken: DataFrame): DataFrame = {
+    val z = linkedZaken.where(col("entity_id").isNotNull)
+      .select("conv_id", "turn_idx", "entity_id", "match_type")
+    val joined = linkedPersons.select("conv_id", "turn_idx", "persoon_id")
+      .join(z, Seq("conv_id", "turn_idx"))
+    joined.select(
+      persoonKey.as("subj"),
+      when(col("match_type") === graft.model.MatchType.Exact, Pred.DiscussesZaak)
+        .otherwise(Pred.DiscussesDossier).as("pred"),
+      zaakKey.as("obj")).distinct()
+  }
+
+  /** Conversation provenance edges (reference CONTAINS_* edges, loader :420-470). */
+  def containment(linkedPersons: DataFrame, linkedZaken: DataFrame): DataFrame =
+    tri(convKey, Pred.ContainsSpeaker, persoonKey)(linkedPersons)
+      .unionByName(tri(convKey, Pred.ContainsZaak, zaakKey)(
+        linkedZaken.where(col("entity_id").isNotNull)))
+
+  /** Dictionary membership edges (reference Persoon→Fractie via
+    * FractieZetelPersoon; dims are part of the graph, seed_enums parity).
+    */
+  def memberOf(persons: DataFrame): DataFrame =
+    tri(persoonKey, Pred.MemberOf, concat(lit(F), col("fractie_id")))(persons)
+
+  /** Interruption triples from the W1 sequence analysis —
+    * reference loader :471-520.
+    */
+  def interruptions(linkedSpeakers: DataFrame): DataFrame = {
+    val events = Interruptions.detect(linkedSpeakers)
+    val interrupter = tri(concat(lit(P), col("interrupter")), Pred.InterruptedIn, convKey)(events)
+    val interrupted = tri(concat(lit(P), col("interrupted")), Pred.WasInterruptedIn, convKey)(events)
+    val responded = tri(concat(lit(P), col("interrupted")), Pred.RespondedIn, convKey)(
+      events.where(col("itype") === InterruptionType.WithResponse))
+    interrupter.unionByName(interrupted).unionByName(responded)
+  }
+
+  /** Vote triples: synthetic vote node per utterance, fractie resolved by
+    * name (J12 — reference vlos_neo4j_loader.py:536-540). `fracties` is a
+    * broadcast dim.
+    */
+  def votes(voteMentions: DataFrame, fracties: DataFrame): DataFrame = {
+    val withId = voteMentions
+      .join(broadcast(fracties.select(col("naam"), col("fractie_id"))),
+        voteMentions("fractie_naam") === col("naam"))
+      .withColumn("vote_key", concat(lit("vote:"), TextFunctions.stableId(
+        col("conv_id"), col("turn_idx"), col("fractie_naam"), col("vote_norm"))))
+    tri(convKey, Pred.HasFractieVote, col("vote_key"))(withId)
+      .unionByName(
+        tri(col("vote_key"), Pred.CastByFractie, concat(lit(F), col("fractie_id")))(withId))
+  }
+
+  /** The full triple set. Inputs are the upstream stage outputs; dims are the
+    * dictionary DataFrames.
+    */
+  def all(linkedPersons: DataFrame, linkedZaken: DataFrame,
+      voteMentions: DataFrame, persons: DataFrame, fracties: DataFrame): DataFrame = {
+    val speakers = linkedPersons
+      .select(col("conv_id"), col("turn_idx"), col("persoon_id").as("speaker"))
+    mentionMatches(linkedPersons)
+      .unionByName(spokeIn(linkedPersons))
+      .unionByName(discusses(linkedPersons, linkedZaken))
+      .unionByName(containment(linkedPersons, linkedZaken))
+      .unionByName(memberOf(persons))
+      .unionByName(interruptions(speakers))
+      .unionByName(votes(voteMentions, fracties))
+  }
+}

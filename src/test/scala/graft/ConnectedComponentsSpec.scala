@@ -1,0 +1,83 @@
+package graft
+
+import scala.util.Random
+import graft.canonicalize.{Canonicalize, ConnectedComponents}
+
+/** Large-star/small-star CC vs a union-find oracle, including multi-round
+  * convergence shapes (long chains) and hot-hub stars.
+  */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Union-find oracle: node -> min node of its component. */
+  private def oracle(edges: Seq[(String, String)]): Map[String, String] = {
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byRoot = nodes.groupBy(find)
+    byRoot.values.flatMap { ns => val m = ns.min; ns.map(_ -> m) }.toMap
+  }
+
+  private def run(edges: Seq[(String, String)]): Map[String, String] =
+    ConnectedComponents.run(edges.toDF("u", "v"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("long chain converges to single min-labeled component (multi-round)") {
+    val edges = (0 until 32).map(i => (f"n$i%02d", f"n${i + 1}%02d"))
+    val got = run(edges)
+    assert(got.values.toSet == Set("n00"))
+    assert(got.keySet.size == 33)
+  }
+
+  test("two disjoint components keep separate representatives") {
+    val got = run(Seq(("a", "b"), ("b", "c"), ("x", "y")))
+    assert(got("a") == "a" && got("b") == "a" && got("c") == "a")
+    assert(got("x") == "x" && got("y") == "x")
+  }
+
+  test("hot hub star (skew shape) resolves to hub-component min") {
+    val edges = (1 to 200).map(i => (f"leaf$i%03d", "hub")) :+ (("aaa", "hub"))
+    val got = run(edges)
+    assert(got.values.toSet == Set("aaa"))
+  }
+
+  test("self-loops and duplicate edges are harmless") {
+    val got = run(Seq(("a", "a"), ("a", "b"), ("b", "a"), ("a", "b")))
+    assert(got == Map("a" -> "a", "b" -> "a"))
+  }
+
+  test("randomized graphs match union-find oracle (seeded)") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val edges = (1 to n).map { _ =>
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}")
+      }.filter(e => e._1 != e._2)
+      assert(run(edges) == oracle(edges), s"trial $trial")
+    }
+  }
+
+  test("canonicalMap prefers entity-namespaced representative") {
+    val linked = Seq(
+      // two mention surfaces both linking to P1 -> one cluster, canon persoon:P1
+      ("c1", 0, "Anna", "Jansen", "P1"),
+      ("c1", 5, "", "Jansen", "P1"),
+      // a mention linking to both P2 and P3 merges them (cross-entity cluster)
+      ("c2", 1, "", "Smit", "P2"),
+      ("c2", 1, "", "Smit", "P3")
+    ).toDF("conv_id", "turn_idx", "v_first", "v_last", "persoon_id")
+    val canon = Canonicalize.canonicalMap(Canonicalize.components(linked))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(canon("persoon:P1") == "persoon:P1")
+    assert(canon("persoon:P2") == "persoon:P2")
+    assert(canon("persoon:P3") == "persoon:P2") // merged via shared mention
+    assert(canon.count { case (n, c) => n.startsWith("mention:") && c == "persoon:P1" } == 2)
+  }
+}
