@@ -143,6 +143,25 @@ object SparkEntry {
     "kg_canonical_triples" -> ((s, dir) => {
       graft.pipeline.Pipeline.build(s, turns(s, dir)).canonical
         .orderBy("subj", "pred", "obj")
+    }),
+
+    // Materialize: node-table derivation (S6 shape)
+    "kg_nodes" -> ((s, dir) => {
+      graft.materialize.Materialize
+        .nodes(graft.pipeline.Pipeline.build(s, turns(s, dir)).canonical)
+        .orderBy("label", "key")
+    }),
+
+    // Materialize round trip: canonical triples → bucketed upsert warehouse →
+    // read back the edge table (exercises the idempotent writer + endpoint
+    // semi-join inside the correctness gate; oracle is the pure derivation)
+    "kg_edges_materialized" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+      val canonical = graft.pipeline.Pipeline.build(s, turns(s, dir)).canonical
+      graft.materialize.Materialize.writeGraph(s, wh, canonical)
+      graft.materialize.Materialize.readEdges(s, wh)
+        .select("src_label", "src_key", "rel_type", "dst_label", "dst_key")
+        .orderBy("src_key", "rel_type", "dst_key")
     })
   )
 
@@ -238,6 +257,20 @@ object SparkEntry {
 
     "kg_canonical_triples" -> OracleSql.withCtes(
       (OracleSql.tripleChain :+ OracleSql.canonicalCtes): _*)(
-      "SELECT subj, pred, obj FROM canonical_triples ORDER BY subj, pred, obj")
+      "SELECT subj, pred, obj FROM canonical_triples ORDER BY subj, pred, obj"),
+
+    "kg_nodes" -> OracleSql.withCtes(
+      (OracleSql.tripleChain :+ OracleSql.canonicalCtes): _*)(
+      """SELECT split_part(key, ':', 1) AS label, key
+        |FROM (SELECT subj AS key FROM canonical_triples
+        |      UNION SELECT obj FROM canonical_triples)
+        |ORDER BY label, key""".stripMargin),
+
+    "kg_edges_materialized" -> OracleSql.withCtes(
+      (OracleSql.tripleChain :+ OracleSql.canonicalCtes): _*)(
+      """SELECT DISTINCT split_part(subj, ':', 1) AS src_label, subj AS src_key,
+        |       pred AS rel_type, split_part(obj, ':', 1) AS dst_label, obj AS dst_key
+        |FROM canonical_triples
+        |ORDER BY src_key, rel_type, dst_key""".stripMargin)
   )
 }

@@ -1,0 +1,121 @@
+package graft.materialize
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph materialization — the Spark re-expression of the reference's Neo4j
+  * MERGE sinks (src/utils/helpers.py:13-54) as node/edge tables with
+  * idempotent partition-level upserts (north rule). The warehouse is
+  * parquet-backed (this container ships no Iceberg runtime); the upsert
+  * protocol below — hash-bucketed layout, touched-partitions-only rewrite,
+  * update-wins key dedup — is exactly what `MERGE INTO` + `bucket(key)`
+  * partitioning gives on Iceberg, and `upsert` is the single seam to swap
+  * when a table format is available.
+  *
+  * Scale design:
+  *  - Tables are laid out in `NBuckets` hash buckets of the business key, so
+  *    an incremental batch rewrites only the buckets it touches (partition
+  *    pruning on read, dynamic overwrite on write) — never the whole table.
+  *  - Re-running any batch is a no-op by construction: dedup-by-key with
+  *    update-wins makes the write idempotent (MERGE semantics), which is the
+  *    checkpoint/resume safety property the reference gets from Neo4j MERGE
+  *    (SURVEY.md §2.10).
+  *  - Edge endpoint integrity = two LEFT SEMI joins against the nodes table
+  *    (reference merge_rel creates an edge only if BOTH endpoints exist,
+  *    helpers.py:40-45) — a referential-integrity filter, not an error.
+  */
+object Materialize {
+
+  val NBuckets = 16
+
+  /** Node table from a triple set: every endpoint becomes (label, key) with
+    * label = the key's namespace prefix.
+    */
+  def nodes(triples: DataFrame): DataFrame = {
+    val subj = triples.select(col("subj").as("key"))
+    val obj = triples.select(col("obj").as("key"))
+    subj.unionByName(obj).distinct()
+      .select(substring_index(col("key"), ":", 1).as("label"), col("key"))
+  }
+
+  /** Edge table from a triple set (src_label, src_key, rel_type, dst_label,
+    * dst_key).
+    */
+  def edges(triples: DataFrame): DataFrame =
+    triples.select(
+      substring_index(col("subj"), ":", 1).as("src_label"),
+      col("subj").as("src_key"),
+      col("pred").as("rel_type"),
+      substring_index(col("obj"), ":", 1).as("dst_label"),
+      col("obj").as("dst_key")).distinct()
+
+  /** Referential-integrity filter: keep only edges whose BOTH endpoints exist
+    * in the nodes table (double LEFT SEMI — S7/J9).
+    */
+  def withEndpointIntegrity(edgesDf: DataFrame, nodesDf: DataFrame): DataFrame = {
+    val keys = nodesDf.select(col("key"))
+    edgesDf
+      .join(keys.withColumnRenamed("key", "src_key"), Seq("src_key"), "left_semi")
+      .join(keys.withColumnRenamed("key", "dst_key"), Seq("dst_key"), "left_semi")
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Idempotent partition-level upsert of `updates` into the parquet table at
+    * `path`, keyed by `keyCols`, bucketed on `bucketCol`. Only buckets present
+    * in `updates` are rewritten; within a rewritten bucket, update rows win
+    * over existing rows on key collision (MERGE semantics). Running the same
+    * batch twice yields a byte-identical table.
+    */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], bucketCol: String): Unit = {
+    val withBucket = updates
+      .withColumn("bucket", pmod(xxhash64(col(bucketCol)), lit(NBuckets)).cast("int"))
+      .dropDuplicates(keyCols)
+    if (!exists(spark, path)) {
+      withBucket.write.partitionBy("bucket").mode(SaveMode.ErrorIfExists).parquet(path)
+    } else {
+      val existing = spark.read.parquet(path)
+      val affected = withBucket.select("bucket").distinct()
+      // update-wins: rank updates (0) ahead of existing (1) per key
+      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_rank"))
+      val merged = existing
+        .join(broadcast(affected), Seq("bucket"), "left_semi")
+        .withColumn("_rank", lit(1))
+        .unionByName(withBucket.withColumn("_rank", lit(0)))
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .drop("_rank", "_rn")
+        // cut the read-dependency on the files we are about to overwrite
+        .localCheckpoint()
+      merged.write
+        .partitionBy("bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite)
+        .parquet(path)
+    }
+  }
+
+  /** Materialize a triple set into `warehouse/{nodes,edges}` with endpoint
+    * integrity enforced against the post-upsert node set.
+    */
+  def writeGraph(spark: SparkSession, warehouse: String, triples: DataFrame): Unit = {
+    val n = nodes(triples)
+    upsert(spark, s"$warehouse/nodes", n, Seq("key"), "key")
+    val allNodes = spark.read.parquet(s"$warehouse/nodes")
+    val e = withEndpointIntegrity(edges(triples), allNodes)
+      .withColumn("edge_key", concat_ws("|", col("src_key"), col("rel_type"), col("dst_key")))
+    upsert(spark, s"$warehouse/edges", e, Seq("edge_key"), "src_key")
+  }
+
+  def readNodes(spark: SparkSession, warehouse: String): DataFrame =
+    spark.read.parquet(s"$warehouse/nodes").drop("bucket")
+
+  def readEdges(spark: SparkSession, warehouse: String): DataFrame =
+    spark.read.parquet(s"$warehouse/edges").drop("bucket", "edge_key")
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.checkpoint.Checkpoint
+import graft.materialize.Materialize
+
+/** Materializer upsert semantics (idempotency, update-wins, endpoint
+  * integrity) and checkpoint resume (crash after k buckets → resume → same
+  * output as a single run).
+  */
+class MaterializeCheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  private def triples(rows: (String, String, String)*): DataFrame =
+    rows.toSeq.toDF("subj", "pred", "obj")
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  test("nodes/edges derivation splits namespaced keys into labels") {
+    val t = triples(("persoon:P1", "SPOKE_IN", "conv:c1"))
+    val n = Materialize.nodes(t).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(n == Set(("persoon", "persoon:P1"), ("conv", "conv:c1")))
+    val e = Materialize.edges(t).head()
+    assert(e.getAs[String]("src_label") == "persoon" && e.getAs[String]("dst_label") == "conv"
+      && e.getAs[String]("rel_type") == "SPOKE_IN")
+  }
+
+  test("writeGraph is idempotent: double run yields identical tables") {
+    val wh = tmp("wh-idem")
+    val t = triples(
+      ("persoon:P1", "SPOKE_IN", "conv:c1"),
+      ("persoon:P2", "SPOKE_IN", "conv:c1"),
+      ("conv:c1", "CONTAINS_SPEAKER", "persoon:P1"))
+    Materialize.writeGraph(spark, wh, t)
+    val nodes1 = sortedRows(Materialize.readNodes(spark, wh))
+    val edges1 = sortedRows(Materialize.readEdges(spark, wh))
+    Materialize.writeGraph(spark, wh, t) // re-run same batch
+    assert(sortedRows(Materialize.readNodes(spark, wh)) == nodes1)
+    assert(sortedRows(Materialize.readEdges(spark, wh)) == edges1)
+    assert(nodes1.length == 3 && edges1.length == 3)
+  }
+
+  test("incremental batch only adds its own data; existing rows survive") {
+    val wh = tmp("wh-incr")
+    Materialize.writeGraph(spark, wh, triples(("persoon:P1", "SPOKE_IN", "conv:c1")))
+    Materialize.writeGraph(spark, wh, triples(("persoon:P2", "SPOKE_IN", "conv:c2")))
+    val nodes = Materialize.readNodes(spark, wh)
+    assert(nodes.count() == 4)
+    assert(Materialize.readEdges(spark, wh).count() == 2)
+  }
+
+  test("upsert update-wins on key collision") {
+    val path = tmp("wh-upd")
+    val v1 = Seq(("k1", "old"), ("k2", "old")).toDF("key", "props")
+    val v2 = Seq(("k1", "new")).toDF("key", "props")
+    Materialize.upsert(spark, path, v1, Seq("key"), "key")
+    Materialize.upsert(spark, path, v2, Seq("key"), "key")
+    val got = spark.read.parquet(path).select("key", "props")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("k1" -> "new", "k2" -> "old"))
+  }
+
+  test("endpoint integrity drops edges with a missing endpoint (merge_rel parity)") {
+    val nodes = Seq(("persoon", "persoon:P1"), ("conv", "conv:c1")).toDF("label", "key")
+    val edges = Materialize.edges(triples(
+      ("persoon:P1", "SPOKE_IN", "conv:c1"), // both endpoints exist
+      ("persoon:P9", "SPOKE_IN", "conv:c1"), // missing src
+      ("persoon:P1", "SPOKE_IN", "conv:c9"))) // missing dst
+    val kept = Materialize.withEndpointIntegrity(edges, nodes).collect()
+    assert(kept.length == 1 && kept.head.getAs[String]("src_key") == "persoon:P1")
+  }
+
+  test("checkpoint resume: crash after half the buckets -> resume completes the rest exactly") {
+    val lineage = tmp("lineage")
+    val data = (0 until 200).map(i => (s"c$i", i)).toDF("conv_id", "x")
+    val nb = 8
+
+    // one-shot run (the oracle)
+    def process(df: DataFrame): Seq[String] =
+      sortedRows(df.select("conv_id", "x"))
+    val fullRun = process(data)
+
+    // "first run" processes buckets 0..3 only, records them, then "crashes"
+    val firstHalf = data.where(Checkpoint.bucketOf(col("conv_id"), nb) < 4)
+    Checkpoint.recordProcessed(spark, lineage, "run1", "extract", firstHalf, "conv_id", nb)
+
+    // resume: anti-join lineage, process the remainder
+    val processed = Checkpoint.processedBuckets(spark, lineage, "extract")
+    assert(processed.count() == 4)
+    val remainder = Checkpoint.filterUnprocessed(data, processed, "conv_id", nb)
+    assert(remainder.count() == data.count() - firstHalf.count())
+    Checkpoint.recordProcessed(spark, lineage, "run2", "extract", remainder, "conv_id", nb)
+
+    // combined coverage equals the one-shot run, with no overlap
+    assert((process(firstHalf) ++ process(remainder)).sorted == fullRun)
+    val stats = Checkpoint.stats(spark, lineage, "extract").head()
+    assert(stats.getAs[Long]("buckets_done") == nb)
+    assert(stats.getAs[Long]("rows_done") == 200)
+  }
+
+  test("a stage with no lineage resumes from scratch (empty processed set)") {
+    val processed = Checkpoint.processedBuckets(spark, tmp("nolineage"), "link")
+    assert(processed.count() == 0)
+    val data = Seq(("c1", 1)).toDF("conv_id", "x")
+    assert(Checkpoint.filterUnprocessed(data, processed, "conv_id").count() == 1)
+  }
+}
