@@ -1,24 +1,129 @@
 package graft
+
+import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
+import graft.functions.FuzzRatio
+import graft.pipeline.Pipeline
+import graft.synth.TranscriptGen
+
+/** Benchmark main — north-star metric (BASELINE.json): end-to-end triples/sec
+  * over extract → link → triples → canonicalize → materialize, plus
+  * throughput at two local parallelism levels standing in for N vs 4N
+  * executors (no real cluster in this sandbox), with scaling efficiency
+  * `(T_low / T_high) / (high/low)`.
+  *
+  * Prints ONE JSON line:
+  * `{"metric":…,"value":<triples/sec at high parallelism>,"unit":"triples/sec",
+  *   "queries":{per-stage seconds + both throughputs + efficiency},"sf":…}`.
+  */
 object Bench {
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    FuzzRatio.register(s)
+    s
+  }
+
+  /** Input prep (untimed): synthesize the transcript table, replicated
+    * `repl`× under distinct conv_ids, and materialize it as ONE parquet
+    * table. Two reasons:
+    *  - at sf0.1 the raw pipeline is overhead-dominated; replication makes
+    *    the measured job compute-bound so the parallelism comparison
+    *    measures the dataflow, not the scheduler;
+    *  - a single materialized input keeps every downstream plan one scan
+    *    wide (a repl-way union plan multiplies driver-side Catalyst time —
+    *    serial work that poisons the scaling measurement), and matches the
+    *    north-rule shape: the job reads an input table.
+    * Identical input file at both parallelism levels.
+    */
+  private def prepareInput(sfDir: String, repl: Int): String = {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-bench-in").toString + "/turns"
+    val s = session(32)
+    try {
+      val t = TranscriptGen.transcripts(s, sfDir)
+      val all = (0 until repl)
+        .map(i => t.withColumn("conv_id", concat(lit(s"r$i/"), col("conv_id"))))
+        .reduce(_ unionByName _)
+      all.repartition(64).write.parquet(dir)
+    } finally s.stop()
+    dir
+  }
+
+  /** One full pipeline run, timed end-to-end (first read → committed
+    * warehouse write). `Pipeline.build` is included: the CC loop inside it
+    * executes eagerly (localCheckpoint per round). Returns
+    * (canonical triple count, per-stage secs).
+    */
+  private def run(spark: SparkSession, inputDir: String): (Long, Map[String, Double]) = {
+    val wh = Files.createTempDirectory("graft-bench-wh").toString + "/w"
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val tStart = System.nanoTime()
+    // build forces extract+link (cache fill) + the iterative CC
+    val (stages, tBuild) =
+      timed(Pipeline.build(spark, spark.read.parquet(inputDir)))
+    // one action for the whole triple derivation (extra per-stage counts
+    // would add serial driver latency that poisons the scaling measurement)
+    val canonical = stages.canonical.persist()
+    val (n, tPipe) = timed(canonical.count())
+    val (_, tMat) = timed(graft.materialize.Materialize.writeGraph(spark, wh, canonical))
+    val total = (System.nanoTime() - tStart) / 1e9
+    canonical.unpersist(); stages.linkedPersons.unpersist()
+    (n, Map(
+      "extract_link_cc_sec" -> tBuild,
+      "triples_canon_sec" -> tPipe,
+      "materialize_sec" -> tMat,
+      "total_sec" -> total))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val high = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "48").toInt
+    val low = math.max(1, high / 4)
+
+    val inputDir = prepareInput(sfDir, repl)
+
+    // One warm-up run at the measured plan shape in a THROWAWAY session
+    // (whole-stage-codegen + JIT caches are JVM-global and cover both
+    // levels; the warm-up's localCheckpoint blocks die with its context so
+    // they don't pollute the measured runs' heap). Each measured run gets a
+    // fresh session.
+    { val w = session(high); try run(w, inputDir) finally w.stop() }
+    def measure(cpus: Int): (Long, Map[String, Double]) = {
+      val s = session(cpus)
+      try run(s, inputDir) finally s.stop()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val (nHigh, highTimes) = measure(high)
+    val (nLow, lowTimes) = measure(low)
+    require(nHigh == nLow, s"parallelism changed the result: $nHigh vs $nLow")
+
+    val tHigh = highTimes("total_sec")
+    val tLow = lowTimes("total_sec")
+    val tpsHigh = nHigh / tHigh
+    val tpsLow = nLow / tLow
+    val efficiency = (tLow / tHigh) / (high.toDouble / low)
+
+    val qs = (highTimes.map { case (k, v) => s"$k@$high" -> v } ++
+      lowTimes.map { case (k, v) => s"$k@$low" -> v } ++ Map(
+        s"triples_per_sec@$high" -> tpsHigh,
+        s"triples_per_sec@$low" -> tpsLow,
+        "scaling_efficiency" -> efficiency,
+        "canonical_triples" -> nHigh.toDouble))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    println(
+      s"""{"metric":"end-to-end triples/sec (extract->link->canonicalize->materialize), scaling local[$low] vs local[$high]","value":${f"$tpsHigh%.2f"},"unit":"triples/sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

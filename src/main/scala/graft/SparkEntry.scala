@@ -6,7 +6,7 @@ import graft.analysis.{Interruptions, Voting}
 import graft.extract.Extract
 import graft.functions.FuzzRatio
 import graft.link.Link
-import graft.oracle.OracleSql
+import graft.oracle.{DataOpsSql, MatchSql, OracleSql}
 import graft.synth.{Dict, TranscriptGen}
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -32,6 +32,27 @@ object SparkEntry {
 
   private def votes(s: SparkSession, dir: String): DataFrame =
     Extract.voteMentions(turns(s, dir))
+
+  // ---- training-data operator inputs ----
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents ∪ identical copy (guaranteed exact duplicates). */
+  private def corpusExact(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ tail-dropped copy (guaranteed near-duplicates). */
+  private def corpusNear(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"),
+      regexp_replace(col("text"), "\\s+\\S+$", "").as("text")))
+  }
 
   /** Flagship: the full extract→link→triples→canonicalize pipeline on
     * sf0.001; driver smoke-checks rows>0.
@@ -162,6 +183,116 @@ object SparkEntry {
       graft.materialize.Materialize.readEdges(s, wh)
         .select("src_label", "src_key", "rel_type", "dst_label", "dst_key")
         .orderBy("src_key", "rel_type", "dst_key")
+    }),
+
+    // ---- training-data operators (documents / embeddings tables) ----
+
+    // Dedup: exact hash-groupBy duplicate groups
+    "td_exact_dup_groups" -> ((s, dir) => {
+      graft.dataops.Dedup.exactGroups(corpusExact(s, dir)).orderBy("content_hash")
+    }),
+
+    // Dedup: doc → canonical mapping under exact dedup
+    "td_exact_canonical" -> ((s, dir) => {
+      graft.dataops.Dedup.exactCanonical(corpusExact(s, dir)).orderBy("doc_id")
+    }),
+
+    // Dedup: MinHash + LSH banding near-dup pairs
+    "td_minhash_pairs" -> ((s, dir) => {
+      graft.dataops.Dedup.minhashPairs(corpusNear(s, dir), 500).orderBy("doc_a", "doc_b")
+    }),
+
+    // Dedup: exact n-gram Jaccard with frequency-blocked self-join
+    "td_ngram_jaccard_pairs" -> ((s, dir) => {
+      graft.dataops.Dedup.ngramJaccardPairs(corpusNear(s, dir), 800, 100)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Dedup: per-doc 32-bit SimHash signatures
+    "td_simhash" -> ((s, dir) => {
+      graft.dataops.Dedup.simhash(docs(s, dir)).orderBy("doc_id")
+    }),
+
+    // Dedup: SimHash near-dup pairs via 8-bit band join
+    "td_simhash_pairs" -> ((s, dir) => {
+      graft.dataops.Dedup.simhashPairs(corpusNear(s, dir), 3).orderBy("doc_a", "doc_b")
+    }),
+
+    // Similarity: brute-force cosine top-k (exact baseline)
+    "td_ann_topk" -> ((s, dir) => {
+      graft.dataops.Similarity.bruteForceTopK(embeddings(s, dir), 5)
+        .orderBy("vec_id", "rank")
+    }),
+
+    // Similarity: sign-LSH bucketed approximate top-k (scale path)
+    "td_ann_lsh_topk" -> ((s, dir) => {
+      graft.dataops.Similarity.lshTopK(embeddings(s, dir), 5, 4)
+        .orderBy("vec_id", "rank")
+    }),
+
+    // Text: language-ID heuristic
+    "td_lang_id" -> ((s, dir) => {
+      graft.dataops.TextAnalysis.languageId(docs(s, dir)).orderBy("doc_id")
+    }),
+
+    // Text: quality scoring
+    "td_quality" -> ((s, dir) => {
+      graft.dataops.TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")
+    }),
+
+    // Text: token counting (whitespace + BPE-ish)
+    "td_token_stats" -> ((s, dir) => {
+      graft.dataops.TextAnalysis.tokenStats(docs(s, dir)).orderBy("doc_id")
+    }),
+
+    // Text: bottom-k shingle fingerprint
+    "td_fingerprint" -> ((s, dir) => {
+      graft.dataops.TextAnalysis.fingerprint(docs(s, dir).select("doc_id", "text"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal: binary payload plumbing via mapPartitions feature extraction
+    "td_multimodal_features" -> ((s, dir) => {
+      graft.dataops.Multimodal.extractFeatures(s,
+        graft.dataops.Multimodal.assets(docs(s, dir))).orderBy("asset_id")
+    }),
+
+    // Matching: J3 time-window candidate join + §2.9 weighted score + W4
+    // runner-up margin over synthesized xml/candidate activity sides
+    "kg_activity_match" -> ((s, dir) => {
+      val bounds = turns(s, dir)
+        .groupBy("conv_id")
+        .agg(
+          min(unix_micros(col("ts").cast("timestamp"))).as("beg_us"),
+          max(unix_micros(col("ts").cast("timestamp"))).as("end_us"))
+        .withColumn("u", substring(col("conv_id"), 2, 18).cast("int"))
+      val dnr = (lit(36000) + col("u") % 50).cast("int").cast("string")
+      val xml = bounds.select(
+        col("conv_id"), lit(0).as("xml_id"),
+        col("beg_us").as("x_beg_us"), col("end_us").as("x_end_us"),
+        lit("debat").as("x_soort"),
+        concat(lit("Debat over dossier "), dnr).as("x_topic"))
+      val cand = bounds
+        .withColumn("cand_idx", explode(lit((0 until 3).toArray)))
+        .withColumn("offs",
+          when(col("cand_idx") === 0,
+            when(col("u") % 2 === 0, 0L).otherwise(400000000L))
+            .when(col("cand_idx") === 1, 1000000000L)
+            .otherwise(2000000000L))
+        .select(
+          col("conv_id"), col("cand_idx"),
+          (col("beg_us") + col("offs")).as("a_beg_us"),
+          (col("end_us") + col("offs")).as("a_end_us"),
+          when(col("cand_idx") === 0, "plenair debat")
+            .when(col("cand_idx") === 1, "debat")
+            .otherwise("vergadering overig").as("a_soort"),
+          when(col("cand_idx") === 0, concat(lit("Dossier "), dnr))
+            .when(col("cand_idx") === 1,
+              concat(lit("Begrotingsbehandeling hoofdstuk "),
+                (col("u") % 12).cast("string")))
+            .otherwise(lit("Stemmingen over ingediende moties plenair"))
+            .as("a_topic"))
+      graft.matching.ActivityMatch.matchActivities(xml, cand).orderBy("conv_id")
     })
   )
 
@@ -271,6 +402,64 @@ object SparkEntry {
       """SELECT DISTINCT split_part(subj, ':', 1) AS src_label, subj AS src_key,
         |       pred AS rel_type, split_part(obj, ':', 1) AS dst_label, obj AS dst_key
         |FROM canonical_triples
-        |ORDER BY src_key, rel_type, dst_key""".stripMargin)
+        |ORDER BY src_key, rel_type, dst_key""".stripMargin),
+
+    "td_exact_dup_groups" -> DataOpsSql.withDocCtes(
+      DataOpsSql.corpusCte, DataOpsSql.exactGroupsCte)(
+      "SELECT content_hash, n_docs, canonical_id FROM exact_groups ORDER BY content_hash"),
+
+    "td_exact_canonical" -> DataOpsSql.withDocCtes(
+      DataOpsSql.corpusCte, DataOpsSql.exactCanonicalCte)(
+      "SELECT doc_id, canonical_id FROM exact_canonical ORDER BY doc_id"),
+
+    "td_minhash_pairs" -> DataOpsSql.withDocCtes(
+      DataOpsSql.nearCorpusCte, DataOpsSql.shinglesCte, DataOpsSql.minhashCte,
+      DataOpsSql.bandsCte, DataOpsSql.minhashPairsCte(500))(
+      "SELECT doc_a, doc_b, est_jaccard_permille FROM minhash_pairs ORDER BY doc_a, doc_b"),
+
+    "td_ngram_jaccard_pairs" -> DataOpsSql.withDocCtes(
+      DataOpsSql.nearCorpusCte, DataOpsSql.shinglesCte,
+      DataOpsSql.ngramJaccardCte(800, 100))(
+      "SELECT doc_a, doc_b, jaccard_permille FROM jaccard_pairs ORDER BY doc_a, doc_b"),
+
+    "td_simhash" -> DataOpsSql.withDocCtes(
+      "corpus AS (SELECT doc_id, text FROM documents)", DataOpsSql.simhashCte)(
+      "SELECT doc_id, simhash FROM simhash ORDER BY doc_id"),
+
+    "td_simhash_pairs" -> DataOpsSql.withDocCtes(
+      DataOpsSql.nearCorpusCte, DataOpsSql.simhashCte, DataOpsSql.simhashPairsCte(3))(
+      "SELECT doc_a, doc_b, hamming FROM simhash_pairs ORDER BY doc_a, doc_b"),
+
+    "td_ann_topk" -> DataOpsSql.withDocCtes(
+      DataOpsSql.annPairsCte, DataOpsSql.annTopKCte(5))(
+      "SELECT vec_id, neighbor_id, cos_1e6, rank FROM ann_topk ORDER BY vec_id, rank"),
+
+    "td_ann_lsh_topk" -> DataOpsSql.withDocCtes(DataOpsSql.annLshTopKCte(5, 4))(
+      "SELECT vec_id, neighbor_id, cos_1e6, rank FROM ann_topk ORDER BY vec_id, rank"),
+
+    "td_lang_id" -> DataOpsSql.withDocCtes(DataOpsSql.langIdCte)(
+      """SELECT doc_id, nl_hits, en_hits, n_words, lang_pred, confidence_permille
+        |FROM lang_id ORDER BY doc_id""".stripMargin),
+
+    "td_quality" -> DataOpsSql.withDocCtes(DataOpsSql.qualityCte)(
+      """SELECT doc_id, n_chars, n_words, punct_permille, stopword_permille,
+        |       chars_per_word_x10, quality_permille
+        |FROM quality ORDER BY doc_id""".stripMargin),
+
+    "td_token_stats" -> DataOpsSql.withDocCtes(DataOpsSql.tokenStatsCte)(
+      "SELECT doc_id, ws_tokens, bpeish_tokens, n_chars FROM token_stats ORDER BY doc_id"),
+
+    "td_fingerprint" -> DataOpsSql.withDocCtes(
+      "corpus AS (SELECT doc_id, text FROM documents)", DataOpsSql.shinglesCte,
+      DataOpsSql.fingerprintCte(4))(
+      "SELECT doc_id, fingerprint FROM fingerprint ORDER BY doc_id"),
+
+    "td_multimodal_features" -> DataOpsSql.withDocCtes(DataOpsSql.multimodalCte)(
+      """SELECT asset_id, n_bytes, checksum, width, height, n_frames
+        |FROM mm_features ORDER BY asset_id""".stripMargin),
+
+    "kg_activity_match" -> OracleSql.withCtes(MatchSql.activityMatchCtes)(
+      """SELECT conv_id, xml_id, cand_idx, score_x2, runner_x2, accepted, match_type
+        |FROM activity_match ORDER BY conv_id""".stripMargin)
   )
 }

@@ -31,15 +31,19 @@ object ConnectedComponents {
     */
   def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     require(maxIter > 0)
+    // lazy localCheckpoint: the signature aggregate is the action that
+    // materializes the checkpoint — ONE Spark job per round (an eager
+    // checkpoint would cost a second full pass), while still cutting
+    // lineage so per-round plans stay constant-size.
     var e = edges.select(col("u").cast("string"), col("v").cast("string"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var converged = false
     var iter = 0
     var sig = signature(e)
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig

@@ -1,0 +1,182 @@
+package graft.dataops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import ContentHash._
+
+/** Deduplication family over a `documents(doc_id, text, …)` table — the
+  * operators a 100 TB training-data pipeline needs. All variants follow the
+  * same scale shape: per-row sketching (narrow, codegen'd) → hash-bucketed
+  * candidate generation (equi-join on bucket keys, NEVER all-pairs) →
+  * in-bucket verification. The only shuffles are on sketch/bucket keys, and
+  * every aggregation partial-aggregates map-side.
+  */
+object Dedup {
+
+  // ---- exact dedup -------------------------------------------------------
+
+  /** Exact duplicate groups: hash-groupBy on normalized text. Returns
+    * (content_hash, n_docs, canonical_id = min doc_id).
+    */
+  def exactGroups(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_id"))
+      .where(col("n_docs") > 1)
+
+  /** doc → canonical mapping under exact dedup (identity rows omitted). */
+  def exactCanonical(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("content_hash")
+    documents
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .where(col("doc_id") =!= col("canonical_id"))
+      .select("doc_id", "canonical_id")
+  }
+
+  // ---- shingling ---------------------------------------------------------
+
+  /** Word 3-gram shingles with h32 hashes: (doc_id, sh) distinct.
+    * Lowercased, whitespace-split; shingle = 3 consecutive words.
+    */
+  def shingles(documents: DataFrame, n: Int = 3): DataFrame = {
+    val words = documents
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "word")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val withNext = (1 until n).foldLeft(words) { (df, i) =>
+      df.withColumn(s"w$i", lead("word", i).over(w))
+    }
+    val parts = col("word") +: (1 until n).map(i => col(s"w$i"))
+    withNext
+      .where(parts.last.isNotNull)
+      .select(col("doc_id"), h32(concat_ws(" ", parts: _*)).as("sh"))
+      .distinct()
+  }
+
+  // ---- MinHash + LSH -----------------------------------------------------
+
+  /** MinHash signatures: (doc_id, mh_0 … mh_{k-1}). One groupBy over the
+    * shingle set; the k permutations are k parallel `min` aggregates (single
+    * shuffle, map-side combined).
+    */
+  def minhashSignatures(shingleDf: DataFrame): DataFrame =
+    shingleDf.groupBy("doc_id")
+      .agg(
+        min(perm(0, col("sh"))).as("mh_0"),
+        (1 until MinHashK).map(i => min(perm(i, col("sh"))).as(s"mh_$i")): _*)
+
+  /** LSH banding: (doc_id, band, band_hash) — md5 over the band's rows. */
+  def bands(signatures: DataFrame): DataFrame = {
+    val perBand = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}"))
+      signatures.select(
+        col("doc_id"), lit(b).as("band"),
+        md5(concat_ws("|", cols: _*)).as("band_hash"))
+    }
+    perBand.reduce(_ unionByName _)
+  }
+
+  /** Candidate near-dup pairs via LSH bucket self-join, verified by the
+    * signature-agreement estimate (matching components / k). Same-bucket ⇒
+    * candidate; est_jaccard permille ≥ threshold ⇒ emitted. Pairs are
+    * (doc_a < doc_b), distinct across bands.
+    */
+  def minhashPairs(documents: DataFrame, minPermille: Int = 500): DataFrame = {
+    val sig = minhashSignatures(shingles(documents))
+    val b = bands(sig)
+    val candidates = b.as("l").join(b.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val sigA = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
+    val sigB = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+    val agree = (0 until MinHashK)
+      .map(i => when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidates
+      .join(sigA, col("doc_a") === col("a_doc_id"))
+      .join(sigB, col("doc_b") === col("b_doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        // explicit floor: Spark's double→int cast truncates but DuckDB's
+        // rounds — floor() first keeps both engines identical
+        floor(agree * 1000 / MinHashK).cast("int").as("est_jaccard_permille"))
+      .where(col("est_jaccard_permille") >= minPermille)
+  }
+
+  // ---- exact n-gram Jaccard ---------------------------------------------
+
+  /** Exact shingle-set Jaccard for pairs sharing ≥1 shingle:
+    * |A∩B| via self-join on shingle hash, |A∪B| = |A|+|B|−|A∩B|.
+    * At scale the self-join is bounded by shingle-frequency blocking —
+    * `maxShingleFreq` drops stop-shingles that would otherwise create
+    * quadratic hot buckets (the skew guard).
+    */
+  def ngramJaccardPairs(documents: DataFrame, minPermille: Int = 800,
+      maxShingleFreq: Int = 100): DataFrame = {
+    val sh = shingles(documents)
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxShingleFreq)
+    val shF = sh.join(rare.select("sh"), Seq("sh"), "left_semi")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = shF.as("l").join(shF.as("r"),
+        col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("n_inter") * 1000 / (col("n_a") + col("n_b") - col("n_inter")))
+          .cast("int").as("jaccard_permille"))
+      .where(col("jaccard_permille") >= minPermille)
+  }
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** 32-bit SimHash over word unigrams, computed relationally: explode
+    * (token × 32 bit positions) → signed sums → reassemble. No 32-column
+    * codegen blowup, and the bit-position explode is a constant ×32 map —
+    * partial aggregation keeps the shuffle at (doc × 32) rows.
+    */
+  def simhash(documents: DataFrame): DataFrame = {
+    val tokens = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", h32(col("word")))
+    val bits = tokens.select(col("doc_id"), col("cnt"), col("h"),
+      explode(lit((0 until 32).toArray)).as("bit"))
+    bits
+      .groupBy("doc_id", "bit")
+      // the DSL's shiftright/shiftleft only take literal shift amounts; the
+      // underlying expressions accept a column — go through SQL text
+      .agg(sum(when(expr("shiftright(h, bit) & 1") === 1,
+        col("cnt")).otherwise(-col("cnt"))).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, bit)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 8-bit band join (4 bands over 32 bits — any pair
+    * within Hamming distance 3 shares ≥1 exact band), verified by
+    * `bit_count(xor) <= maxHamming`.
+    */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(documents)
+    val banded = (0 until 4).map { b =>
+      sh.select(col("doc_id"), col("simhash"), lit(b).as("band"),
+        shiftright(col("simhash"), b * 8).bitwiseAND(0xFF).as("band_bits"))
+    }.reduce(_ unionByName _)
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.band_bits") === col("r.band_bits") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

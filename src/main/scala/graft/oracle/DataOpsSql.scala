@@ -1,0 +1,243 @@
+package graft.oracle
+
+import graft.dataops.ContentHash._
+import graft.dataops.TextAnalysis
+
+/** DuckDB oracle CTEs for the training-data operators (graft.dataops.*).
+  * Tables `documents` and `embeddings` are registered by the driver from the
+  * same parquet files the Spark side reads. Hash/permutation constants come
+  * from the same `ContentHash` literals as the Spark plans.
+  */
+object DataOpsSql {
+
+  def withDocCtes(extra: String*)(finalSelect: String): String =
+    s"WITH ${extra.mkString(",\n")}\n$finalSelect"
+
+  /** Corpus with guaranteed exact duplicates: documents ∪ identical copy. */
+  val corpusCte: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents)""".stripMargin
+
+  /** Corpus with guaranteed near-duplicates: documents ∪ tail-dropped copy. */
+  val nearCorpusCte: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, regexp_replace(text, '\s+\S+$', '') FROM documents)""".stripMargin
+
+  val exactGroupsCte: String =
+    """exact_groups AS (
+      |  SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+      |  FROM corpus GROUP BY 1 HAVING COUNT(*) > 1)""".stripMargin
+
+  val exactCanonicalCte: String =
+    """exact_canonical AS (
+      |  SELECT doc_id, canonical_id FROM (
+      |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+      |    FROM corpus)
+      |  WHERE doc_id <> canonical_id)""".stripMargin
+
+  /** Word 3-gram shingles with h32 hashes (mirrors Dedup.shingles). */
+  val shinglesCte: String =
+    s"""shingles AS (
+       |  SELECT DISTINCT doc_id, ${h32Sql("shingle")} AS sh FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+       |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+       |    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+       |          FROM corpus)))""".stripMargin
+
+  /** MinHash signatures (k parallel MIN aggregates, same coefficients). */
+  val minhashCte: String = {
+    val mins = (0 until MinHashK)
+      .map(i => s"MIN(${permSql(i, "sh")}) AS mh_$i").mkString(",\n         ")
+    s"""mh AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM shingles GROUP BY doc_id)""".stripMargin
+  }
+
+  val bandsCte: String = {
+    val branches = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => s"mh_${b * RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS band_hash FROM mh"
+    }
+    "bands AS (\n  " + branches.mkString("\n  UNION ALL ") + ")"
+  }
+
+  def minhashPairsCte(minPermille: Int): String = {
+    val agree = (0 until MinHashK)
+      .map(i => s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""cand AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2),
+       |minhash_pairs AS (
+       |  SELECT doc_a, doc_b, est_jaccard_permille FROM (
+       |    SELECT doc_a, doc_b,
+       |           CAST(FLOOR(($agree) * 1000 / $MinHashK) AS INT) AS est_jaccard_permille
+       |    FROM cand p JOIN mh a ON p.doc_a = a.doc_id JOIN mh b ON p.doc_b = b.doc_id)
+       |  WHERE est_jaccard_permille >= $minPermille)""".stripMargin
+  }
+
+  def ngramJaccardCte(minPermille: Int, maxFreq: Int): String =
+    s"""sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1),
+       |rare AS (SELECT sh FROM shingles GROUP BY sh HAVING COUNT(*) <= $maxFreq),
+       |shf AS (SELECT s.* FROM shingles s JOIN rare USING (sh)),
+       |inter AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS n_inter
+       |  FROM shf l JOIN shf r ON l.sh = r.sh AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2),
+       |jaccard_pairs AS (
+       |  SELECT doc_a, doc_b, jaccard_permille FROM (
+       |    SELECT doc_a, doc_b,
+       |           CAST(FLOOR(n_inter * 1000 / (sa.n_sh + sb.n_sh - n_inter)) AS INT)
+       |             AS jaccard_permille
+       |    FROM inter
+       |    JOIN sizes sa ON inter.doc_a = sa.doc_id
+       |    JOIN sizes sb ON inter.doc_b = sb.doc_id)
+       |  WHERE jaccard_permille >= $minPermille)""".stripMargin
+
+  /** 32-bit SimHash (mirrors Dedup.simhash, relational bit explode). */
+  val simhashCte: String =
+    s"""tok AS (
+       |  SELECT doc_id, word, COUNT(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |    FROM corpus)
+       |  GROUP BY 1, 2),
+       |tok_h AS (SELECT doc_id, cnt, ${h32Sql("word")} AS h FROM tok),
+       |sim_bits AS (
+       |  SELECT doc_id, b.bit,
+       |         SUM(CASE WHEN (h >> CAST(b.bit AS INT)) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+       |  FROM tok_h, (SELECT range AS bit FROM range(32)) b
+       |  GROUP BY 1, 2),
+       |simhash AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+       |                       ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM sim_bits GROUP BY doc_id)""".stripMargin
+
+  def simhashPairsCte(maxHamming: Int): String = {
+    val branches = (0 until 4).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 8}) & 255 AS band_bits FROM simhash")
+    s"""sim_banded AS (
+       |  ${branches.mkString("\n  UNION ALL ")}),
+       |simhash_pairs AS (
+       |  SELECT doc_a, doc_b, hamming FROM (
+       |    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |           CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+       |    FROM sim_banded l JOIN sim_banded r
+       |      ON l.band = r.band AND l.band_bits = r.band_bits AND l.doc_id < r.doc_id
+       |    GROUP BY 1, 2, 3)
+       |  WHERE hamming <= $maxHamming)""".stripMargin
+  }
+
+  /** Cosine with the exact Spark fold shape: dot/(sqrt(na)·sqrt(nb)). */
+  val annPairsCte: String =
+    """emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |ann_pairs AS (
+      |  SELECT l.vec_id, r.vec_id AS neighbor_id,
+      |         CAST(FLOOR(list_dot_product(l.e, r.e) /
+      |              (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e)))
+      |              * 1000000) AS BIGINT) AS cos_1e6
+      |  FROM emb l JOIN emb r ON l.vec_id <> r.vec_id)""".stripMargin
+
+  def annTopKCte(k: Int): String =
+    s"""ann_topk AS (
+       |  SELECT vec_id, neighbor_id, cos_1e6, CAST(rank AS INT) AS rank FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                                 ORDER BY cos_1e6 DESC, neighbor_id) AS rank
+       |    FROM ann_pairs)
+       |  WHERE rank <= $k)""".stripMargin
+
+  def lshBucketExpr(nBits: Int, arr: String): String =
+    (1 to nBits).map(i => s"CASE WHEN $arr[$i] >= 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")")
+
+  def annLshTopKCte(k: Int, nBits: Int): String =
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |embb AS (SELECT vec_id, e, ${lshBucketExpr(nBits, "e")} AS bucket FROM emb),
+       |ann_pairs AS (
+       |  SELECT l.vec_id, r.vec_id AS neighbor_id,
+       |         CAST(FLOOR(list_dot_product(l.e, r.e) /
+       |              (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e)))
+       |              * 1000000) AS BIGINT) AS cos_1e6
+       |  FROM embb l JOIN embb r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
+       |ann_topk AS (
+       |  SELECT vec_id, neighbor_id, cos_1e6, CAST(rank AS INT) AS rank FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                                 ORDER BY cos_1e6 DESC, neighbor_id) AS rank
+       |    FROM ann_pairs)
+       |  WHERE rank <= $k)""".stripMargin
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val langIdCte: String =
+    s"""lang_id AS (
+       |  SELECT doc_id, nl_hits, en_hits, n_words,
+       |         CASE WHEN nl_hits > en_hits THEN 'nl'
+       |              WHEN en_hits > nl_hits THEN 'en' ELSE 'und' END AS lang_pred,
+       |         CAST(CASE WHEN n_words > 0
+       |              THEN FLOOR(GREATEST(nl_hits, en_hits) * 1000 / n_words)
+       |              ELSE 0 END AS INT) AS confidence_permille
+       |  FROM (SELECT doc_id,
+       |          CAST(len(list_filter(ws, x -> x IN ${inList(TextAnalysis.StopwordsNl)})) AS INT) AS nl_hits,
+       |          CAST(len(list_filter(ws, x -> x IN ${inList(TextAnalysis.StopwordsEn)})) AS INT) AS en_hits,
+       |          CAST(len(ws) AS INT) AS n_words
+       |        FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+       |              FROM documents)))""".stripMargin
+
+  val qualityCte: String =
+    s"""quality AS (
+       |  SELECT doc_id, n_chars, n_words, punct_permille, stopword_permille,
+       |         chars_per_word_x10,
+       |         CAST(LEAST(GREATEST(
+       |              LEAST(n_words * 20, 400)
+       |              + LEAST(stopword_permille, 400)
+       |              + CASE WHEN punct_permille <= 100 THEN 200 ELSE 0 END, 0), 1000) AS INT)
+       |           AS quality_permille
+       |  FROM (
+       |    SELECT doc_id, n_chars, n_words,
+       |           CAST(CASE WHEN n_chars > 0 THEN FLOOR(n_punct * 1000 / n_chars) ELSE 0 END AS INT) AS punct_permille,
+       |           CAST(CASE WHEN n_words > 0 THEN FLOOR(stop_hits * 1000 / n_words) ELSE 0 END AS INT) AS stopword_permille,
+       |           CAST(CASE WHEN n_words > 0 THEN FLOOR(n_chars * 10 / n_words) ELSE 0 END AS INT) AS chars_per_word_x10
+       |    FROM (
+       |      SELECT doc_id,
+       |             CAST(length(text) AS INT) AS n_chars,
+       |             CAST(len(ws) AS INT) AS n_words,
+       |             CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS INT) AS n_punct,
+       |             CAST(len(list_filter(ws, x -> x IN ${inList(TextAnalysis.StopwordsNl)}))
+       |                + len(list_filter(ws, x -> x IN ${inList(TextAnalysis.StopwordsEn)})) AS INT) AS stop_hits
+       |      FROM (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS ws
+       |            FROM documents))))""".stripMargin
+
+  val tokenStatsCte: String =
+    s"""token_stats AS (
+       |  SELECT doc_id,
+       |         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS INT) AS ws_tokens,
+       |         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+       |            + length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS INT) AS bpeish_tokens,
+       |         CAST(length(text) AS INT) AS n_chars
+       |  FROM documents)""".stripMargin
+
+  def fingerprintCte(t: Int): String =
+    s"""fingerprint AS (
+       |  SELECT doc_id, string_agg(CAST(sh AS VARCHAR), '-' ORDER BY sh) AS fingerprint
+       |  FROM (SELECT doc_id, sh,
+       |               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sh) AS rn
+       |        FROM shingles)
+       |  WHERE rn <= $t GROUP BY doc_id)""".stripMargin
+
+  val multimodalCte: String =
+    """mm_features AS (
+      |  SELECT doc_id AS asset_id,
+      |         CAST(length(text) AS BIGINT) AS n_bytes,
+      |         md5(text) AS checksum,
+      |         CAST(64 + length(text) % 64 AS INT) AS width,
+      |         CAST(64 + (length(text) // 64) % 64 AS INT) AS height,
+      |         CAST(1 + length(text) % 8 AS INT) AS n_frames
+      |  FROM documents)""".stripMargin
+}

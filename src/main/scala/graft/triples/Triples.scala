@@ -38,11 +38,22 @@ object Triples {
       obj: org.apache.spark.sql.Column)(df: DataFrame): DataFrame =
     df.select(subj.as("subj"), lit(pred).as("pred"), obj.as("obj")).distinct()
 
+  /** Projection without dedup — for branches whose input is already unique
+    * per output key (one linker row per mention / one dict row per entity):
+    * skipping the redundant `distinct` removes a full shuffle of the widest
+    * data per branch.
+    */
+  private def triRaw(subj: org.apache.spark.sql.Column, pred: String,
+      obj: org.apache.spark.sql.Column)(df: DataFrame): DataFrame =
+    df.select(subj.as("subj"), lit(pred).as("pred"), obj.as("obj"))
+
   /** Mention provenance: VlosSpeaker-node MATCHES_PERSOON edge
     * (reference vlos_neo4j_loader.py:239-258).
     */
   def mentionMatches(linkedPersons: DataFrame): DataFrame =
-    tri(
+    // linker emits exactly one row per mention key (argmax rn=1), so the
+    // mention-keyed triple is unique by construction — no dedup shuffle
+    triRaw(
       concat(lit("mention:"), TextFunctions.stableId(
         col("conv_id"), col("turn_idx"), col("v_first"), col("v_last"))),
       Pred.MatchesPersoon, persoonKey)(linkedPersons)
@@ -79,7 +90,7 @@ object Triples {
     * FractieZetelPersoon; dims are part of the graph, seed_enums parity).
     */
   def memberOf(persons: DataFrame): DataFrame =
-    tri(persoonKey, Pred.MemberOf, concat(lit(F), col("fractie_id")))(persons)
+    triRaw(persoonKey, Pred.MemberOf, concat(lit(F), col("fractie_id")))(persons)
 
   /** Interruption triples from the W1 sequence analysis —
     * reference loader :471-520.
@@ -103,9 +114,11 @@ object Triples {
         voteMentions("fractie_naam") === col("naam"))
       .withColumn("vote_key", concat(lit("vote:"), TextFunctions.stableId(
         col("conv_id"), col("turn_idx"), col("fractie_naam"), col("vote_norm"))))
-    tri(convKey, Pred.HasFractieVote, col("vote_key"))(withId)
+    // ≤1 vote mention per turn and the vote key embeds (conv, turn, naam,
+    // vote) — both branches unique by construction
+    triRaw(convKey, Pred.HasFractieVote, col("vote_key"))(withId)
       .unionByName(
-        tri(col("vote_key"), Pred.CastByFractie, concat(lit(F), col("fractie_id")))(withId))
+        triRaw(col("vote_key"), Pred.CastByFractie, concat(lit(F), col("fractie_id")))(withId))
   }
 
   /** The full triple set. Inputs are the upstream stage outputs; dims are the
