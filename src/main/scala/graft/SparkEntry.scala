@@ -293,6 +293,32 @@ object SparkEntry {
             .otherwise(lit("Stemmingen over ingediende moties plenair"))
             .as("a_topic"))
       graft.matching.ActivityMatch.matchActivities(xml, cand).orderBy("conv_id")
+    }),
+
+    // Segmentation: activity containers as running 'opening'-marker counts
+    "kg_segments" -> ((s, dir) => {
+      Extract.withSegments(turns(s, dir))
+        .select("conv_id", "turn_idx", "seg_id")
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // Analysis: W2 fragment interruptions (first speaker vs later speakers
+    // within a segment)
+    "kg_fragment_interruptions" -> ((s, dir) => {
+      val segs = Extract.withSegments(turns(s, dir))
+        .select("conv_id", "turn_idx", "seg_id")
+      val speakers = linkedSpeakers(s, dir).join(segs, Seq("conv_id", "turn_idx"))
+      Interruptions.fragmentInterruptions(speakers)
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // Analysis: A4 per-topic vote patterns with classification
+    "kg_topic_vote_patterns" -> ((s, dir) => {
+      val topics = Link.linkZaken(Extract.caseMentions(turns(s, dir)),
+          Dict.zakenDf(s), Dict.dossiersDf(s), Dict.documentsDf(s))
+        .where(col("entity_id").isNotNull)
+        .select(col("conv_id"), col("dossier_nr").as("topic")).distinct()
+      Voting.topicPatterns(votes(s, dir), topics).orderBy("topic")
     })
   )
 
@@ -460,6 +486,53 @@ object SparkEntry {
 
     "kg_activity_match" -> OracleSql.withCtes(MatchSql.activityMatchCtes)(
       """SELECT conv_id, xml_id, cand_idx, score_x2, runner_x2, accepted, match_type
-        |FROM activity_match ORDER BY conv_id""".stripMargin)
+        |FROM activity_match ORDER BY conv_id""".stripMargin),
+
+    "kg_segments" -> OracleSql.withCtes()(
+      """SELECT conv_id, turn_idx,
+        |       CAST(SUM(CASE WHEN contains(lower(text), 'opening') THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS seg_id
+        |FROM transcripts ORDER BY conv_id, turn_idx""".stripMargin),
+
+    "kg_fragment_interruptions" -> OracleSql.withCtes(
+      OracleSql.speakerMentionsCte, OracleSql.linkPersonsCte)(
+      """SELECT conv_id, seg_id, turn_idx, interrupter, interrupted FROM (
+        |  SELECT s.conv_id, s.seg_id, s.turn_idx,
+        |         s.speaker AS interrupter,
+        |         FIRST_VALUE(s.speaker) OVER (PARTITION BY s.conv_id, s.seg_id
+        |             ORDER BY s.turn_idx ROWS UNBOUNDED PRECEDING) AS interrupted
+        |  FROM (SELECT lp.conv_id, lp.turn_idx, lp.persoon_id AS speaker, t.seg_id
+        |        FROM linked_persons lp
+        |        JOIN (SELECT conv_id, turn_idx,
+        |                     CAST(SUM(CASE WHEN contains(lower(text), 'opening')
+        |                              THEN 1 ELSE 0 END)
+        |                          OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT)
+        |                       AS seg_id
+        |              FROM transcripts) t
+        |          ON lp.conv_id = t.conv_id AND lp.turn_idx = t.turn_idx) s)
+        |WHERE interrupter <> interrupted
+        |ORDER BY conv_id, turn_idx""".stripMargin),
+
+    "kg_topic_vote_patterns" -> OracleSql.withCtes(
+      (OracleSql.caseMentionsCte +: OracleSql.zakenCtes :+ OracleSql.linkZakenCte :+
+        OracleSql.voteMentionsCte): _*)(
+      """SELECT topic, voor, tegen, onthouding, total,
+        |       CAST(CASE WHEN total > 0
+        |            THEN FLOOR(GREATEST(voor, tegen) * 1000 / total) ELSE 0 END AS INT)
+        |         AS consensus_permille,
+        |       CASE WHEN total > 0 AND FLOOR(GREATEST(voor, tegen) * 1000 / total) >= 950 THEN 'unanimous'
+        |            WHEN total = 0 OR FLOOR(GREATEST(voor, tegen) * 1000 / total) < 800 THEN 'controversial'
+        |            ELSE 'normal' END AS classification
+        |FROM (SELECT topic,
+        |             CAST(SUM(CASE WHEN vote_norm = 'voor' THEN 1 ELSE 0 END) AS BIGINT) AS voor,
+        |             CAST(SUM(CASE WHEN vote_norm = 'tegen' THEN 1 ELSE 0 END) AS BIGINT) AS tegen,
+        |             CAST(SUM(CASE WHEN vote_norm = 'onthouding' THEN 1 ELSE 0 END) AS BIGINT) AS onthouding,
+        |             CAST(COUNT(*) AS BIGINT) AS total
+        |      FROM vote_mentions v
+        |      JOIN (SELECT DISTINCT conv_id, dossier_nr AS topic
+        |            FROM linked_zaken WHERE entity_id IS NOT NULL) tp
+        |        USING (conv_id)
+        |      GROUP BY topic)
+        |ORDER BY topic""".stripMargin)
   )
 }

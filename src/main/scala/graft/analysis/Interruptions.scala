@@ -38,6 +38,22 @@ object Interruptions {
       .drop("next_speaker")
   }
 
+  /** W2 fragment interruption: within one fragment/segment, every speaker
+    * other than the fragment's first speaker interrupts them — reference
+    * interruption_analyzer.py:73-90.
+    */
+  def fragmentInterruptions(speakerTurns: DataFrame,
+      fragmentCols: Seq[String] = Seq("conv_id", "seg_id")): DataFrame = {
+    val w = Window.partitionBy(fragmentCols.map(col): _*).orderBy("turn_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    speakerTurns
+      .withColumn("first_speaker", first("speaker").over(w))
+      .where(col("speaker") =!= col("first_speaker"))
+      .select((fragmentCols.map(col) :+ col("turn_idx") :+
+        col("speaker").as("interrupter") :+
+        col("first_speaker").as("interrupted")): _*)
+  }
+
   /** A6: interruption type counts. */
   def typeCounts(events: DataFrame): DataFrame =
     events.groupBy("itype").agg(count(lit(1)).as("n"))

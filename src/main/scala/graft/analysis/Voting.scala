@@ -64,4 +64,12 @@ object Voting {
   /** A5: global vote-type distribution. */
   def distribution(votes: DataFrame): DataFrame =
     votes.groupBy("vote_norm").agg(count(lit(1)).as("n"))
+
+  /** A4: per-topic vote patterns — votes rolled up by the topics (dossiers)
+    * their conversation discusses, with the reference's controversial (<80%)
+    * / unanimous (≥95%) classification (voting_analyzer.py:87-156).
+    * `topics`: (conv_id, topic) distinct.
+    */
+  def topicPatterns(votes: DataFrame, topics: DataFrame): DataFrame =
+    consensus(votes.join(topics, "conv_id"), Seq("topic"))
 }
