@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.checkpoint.Checkpoint
+import graft.functions.FuzzRatio
+import graft.materialize.Materialize
+import graft.pipeline.{Metrics, Pipeline}
+import graft.synth.TranscriptGen
+
+/** spark-submit entry point — the analogue of the reference's `main.py` CLI
+  * run (src/main.py:90-140, cli_config.py:8-55): stage DAG over the
+  * transcript table with per-bucket checkpointing, resume, overwrite, and
+  * counter metrics.
+  *
+  * Usage (all flags optional):
+  *   spark-submit --class graft.GraftApp <jar>
+  *     --sf-dir <dir>        input testdata dir (default /root/testdata/sf0.001)
+  *     --input <parquet>     read transcripts from parquet instead of synth
+  *     --warehouse <dir>     output graph warehouse (default ./graft-warehouse)
+  *     --lineage <dir>       lineage table path (default <warehouse>/lineage)
+  *     --run-id <id>         run identifier (default epoch millis at launch)
+  *     --resume              skip conversation buckets already in lineage
+  *     --overwrite           ignore lineage (the reference's --overwrite)
+  *     --master <m>          Spark master when not under spark-submit
+  */
+object GraftApp {
+
+  def main(args: Array[String]): Unit = {
+    val opts = parse(args.toList, Map.empty)
+    val sfDir = opts.getOrElse("sf-dir", "/root/testdata/sf0.001")
+    val warehouse = opts.getOrElse("warehouse", "graft-warehouse")
+    val lineage = opts.getOrElse("lineage", s"$warehouse/lineage")
+    val runId = opts.getOrElse("run-id", System.currentTimeMillis().toString)
+    val resume = opts.contains("resume") && !opts.contains("overwrite")
+
+    val builder = SparkSession.builder().appName("graft-kg")
+      .config("spark.sql.session.timeZone", "UTC")
+    opts.get("master").foreach { m =>
+      builder.master(m).config("spark.sql.shuffle.partitions",
+        Runtime.getRuntime.availableProcessors().toString)
+    }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    FuzzRatio.register(spark)
+
+    val allTurns = opts.get("input")
+      .map(spark.read.parquet(_))
+      .getOrElse(TranscriptGen.transcripts(spark, sfDir))
+
+    // resume: drop conversation buckets already recorded for this stage
+    val turns =
+      if (resume)
+        Checkpoint.filterUnprocessed(allTurns,
+          Checkpoint.processedBuckets(spark, lineage, "pipeline"), "conv_id")
+      else allTurns
+
+    val stages = Pipeline.build(spark, turns)
+    val (observedLinked, linkObs) = Metrics.observeLink(stages.linkedPersons)
+    observedLinked.count() // one action drives the observation (cache-backed)
+    val canonical = stages.canonical.persist()
+    val nTriples = canonical.count()
+
+    Materialize.writeGraph(spark, warehouse, canonical)
+    Checkpoint.recordProcessed(spark, lineage, runId, "pipeline", turns, "conv_id")
+
+    val link = linkObs.get
+    val nLinked = link("n_linked").asInstanceOf[Long]
+    val nExact = link("n_exact").asInstanceOf[Long]
+    println(s"[graft] run=$runId linked=$nLinked " +
+      s"exact_permille=${Metrics.matchRatePermille(nExact, nLinked)} " +
+      s"canonical_triples=$nTriples warehouse=$warehouse")
+    spark.stop()
+  }
+
+  @annotation.tailrec
+  private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =
+    args match {
+      case Nil => acc
+      case flag :: rest if flag.startsWith("--") =>
+        val key = flag.drop(2)
+        rest match {
+          case v :: tail if !v.startsWith("--") => parse(tail, acc + (key -> v))
+          case _ => parse(rest, acc + (key -> ""))
+        }
+      case _ :: rest => parse(rest, acc)
+    }
+}
