@@ -36,6 +36,7 @@ object GraftApp {
 
     val builder = SparkSession.builder().appName("graft-kg")
       .config("spark.sql.session.timeZone", "UTC")
+    graft.link.Salting.AqeSkewConf.foreach { case (k, v) => builder.config(k, v) }
     opts.get("master").foreach { m =>
       builder.master(m).config("spark.sql.shuffle.partitions",
         Runtime.getRuntime.availableProcessors().toString)

@@ -319,6 +319,36 @@ object SparkEntry {
         .where(col("entity_id").isNotNull)
         .select(col("conv_id"), col("dossier_nr").as("topic")).distinct()
       Voting.topicPatterns(votes(s, dir), topics).orderBy("topic")
+    }),
+
+    // J10: speaker × zaak connection network (bounded per-conversation cross)
+    "kg_connections" -> ((s, dir) => {
+      val sp = linkedSpeakers(s, dir).select("conv_id", "speaker").distinct()
+      val z = Link.linkZaken(Extract.caseMentions(turns(s, dir)),
+          Dict.zakenDf(s), Dict.dossiersDf(s), Dict.documentsDf(s))
+        .where(col("entity_id").isNotNull)
+        .select("conv_id", "entity_id").distinct()
+      sp.join(z, "conv_id").orderBy("conv_id", "speaker", "entity_id")
+    }),
+
+    // A13/U2: first-seen speaker dedup per conversation
+    "kg_dedup_speakers" -> ((s, dir) => {
+      Extract.dedupSpeakers(Extract.speakerMentions(turns(s, dir)))
+        .select("conv_id", "v_first", "v_last", "turn_idx", "kind")
+        .orderBy("conv_id", "v_first", "v_last")
+    }),
+
+    // A9: topics present in conversations with interruptions, by count
+    "kg_interruption_topics" -> ((s, dir) => {
+      val events = Interruptions.detect(linkedSpeakers(s, dir))
+        .select("conv_id", "turn_idx")
+      val topics = Link.linkZaken(Extract.caseMentions(turns(s, dir)),
+          Dict.zakenDf(s), Dict.dossiersDf(s), Dict.documentsDf(s))
+        .where(col("entity_id").isNotNull)
+        .select(col("conv_id"), col("dossier_nr").as("topic")).distinct()
+      events.join(topics, "conv_id")
+        .groupBy("topic").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("topic"))
     })
   )
 
@@ -533,6 +563,31 @@ object SparkEntry {
         |            FROM linked_zaken WHERE entity_id IS NOT NULL) tp
         |        USING (conv_id)
         |      GROUP BY topic)
-        |ORDER BY topic""".stripMargin)
+        |ORDER BY topic""".stripMargin),
+
+    "kg_connections" -> OracleSql.withCtes(
+      (Seq(OracleSql.speakerMentionsCte, OracleSql.linkPersonsCte,
+        OracleSql.caseMentionsCte) ++ OracleSql.zakenCtes :+ OracleSql.linkZakenCte): _*)(
+      """SELECT sp.conv_id, sp.speaker, z.entity_id
+        |FROM (SELECT DISTINCT conv_id, persoon_id AS speaker FROM linked_persons) sp
+        |JOIN (SELECT DISTINCT conv_id, entity_id FROM linked_zaken
+        |      WHERE entity_id IS NOT NULL) z USING (conv_id)
+        |ORDER BY conv_id, speaker, entity_id""".stripMargin),
+
+    "kg_dedup_speakers" -> OracleSql.withCtes(OracleSql.speakerMentionsCte)(
+      """SELECT conv_id, v_first, v_last,
+        |       MIN(turn_idx) AS turn_idx, arg_min(kind, turn_idx) AS kind
+        |FROM speaker_mentions GROUP BY 1, 2, 3
+        |ORDER BY conv_id, v_first, v_last""".stripMargin),
+
+    "kg_interruption_topics" -> OracleSql.withCtes(
+      (Seq(OracleSql.speakerMentionsCte, OracleSql.linkPersonsCte,
+        OracleSql.interruptionsCte, OracleSql.caseMentionsCte) ++
+        OracleSql.zakenCtes :+ OracleSql.linkZakenCte): _*)(
+      """SELECT topic, COUNT(*) AS n
+        |FROM (SELECT conv_id, turn_idx FROM interruptions) i
+        |JOIN (SELECT DISTINCT conv_id, dossier_nr AS topic FROM linked_zaken
+        |      WHERE entity_id IS NOT NULL) t USING (conv_id)
+        |GROUP BY topic ORDER BY n DESC, topic""".stripMargin)
   )
 }
