@@ -26,7 +26,22 @@ object Canonicalize {
         col("conv_id"), col("turn_idx"), col("v_first"), col("v_last"))).as("u"),
       concat(lit("persoon:"), col("persoon_id")).as("v")).distinct()
 
-  /** `(node, component)` for every node incident to a match edge. */
+  /** Co-reference edges over SURFACE FORMS (lowercased name pair) rather
+    * than per-occurrence mentions: the same (v_first, v_last) always links
+    * to the same entity (scoring is a pure function of the names), so the
+    * CC input is bounded by the alias space (≈ dictionary size × forms) —
+    * NOT by corpus size. At 10^12 turns this is the difference between CC
+    * over ~10^5 edges and CC over 10^12 star edges whose answer is known.
+    */
+  def surfaceEdges(linkedPersons: DataFrame): DataFrame =
+    linkedPersons.select(
+      concat(lit("surface:"), lower(col("v_first")), lit("|"),
+        lower(col("v_last"))).as("u"),
+      concat(lit("persoon:"), col("persoon_id")).as("v")).distinct()
+
+  /** `(node, component)` for every node incident to a match edge
+    * (per-occurrence node space — small inputs / tests).
+    */
   def components(linkedPersons: DataFrame): DataFrame =
     ConnectedComponents.run(matchEdges(linkedPersons))
 
@@ -41,6 +56,34 @@ object Canonicalize {
       min("node").as("node_min"))
     comps.join(best, "component")
       .select(col("node"), coalesce(col("entity_min"), col("node_min")).as("canon"))
+  }
+
+  /** Scalable canonical map: CC over the surface-form graph, then projected
+    * back onto the per-occurrence mention node space (broadcast join of the
+    * tiny surface→canon map against the linker output). For linker-produced
+    * input (argmax ⇒ one entity per surface form) this yields exactly the
+    * same (node, canon) pairs as `canonicalMap(components(linked))` —
+    * asserted in ConnectedComponentsSpec — with CC cost independent of
+    * corpus size. (On adversarial inputs where one surface links different
+    * entities in different occurrences, surface-level CC merges MORE —
+    * that is the intended entity-resolution semantics.)
+    */
+  def canonicalMapScalable(linkedPersons: DataFrame): DataFrame = {
+    val surfaceCanon = canonicalMap(ConnectedComponents.run(surfaceEdges(linkedPersons)))
+    val persoonRows = surfaceCanon.where(col("node").startsWith("persoon:"))
+    val surfaceRows = broadcast(
+      surfaceCanon.where(col("node").startsWith("surface:"))
+        .withColumnRenamed("node", "surface_key"))
+    val mentionRows = linkedPersons
+      .withColumn("surface_key",
+        concat(lit("surface:"), lower(col("v_first")), lit("|"), lower(col("v_last"))))
+      .join(surfaceRows, "surface_key")
+      .select(
+        concat(lit("mention:"), TextFunctions.stableId(
+          col("conv_id"), col("turn_idx"), col("v_first"), col("v_last"))).as("node"),
+        col("canon"))
+      .distinct()
+    mentionRows.unionByName(persoonRows)
   }
 
   /** Rewrite triple endpoints through the canonical map (two left joins;

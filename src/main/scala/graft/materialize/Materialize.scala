@@ -41,7 +41,8 @@ object Materialize {
   }
 
   /** Edge table from a triple set (src_label, src_key, rel_type, dst_label,
-    * dst_key).
+    * dst_key). No dedup here: the upsert dedups on the natural edge key, so
+    * an extra distinct would just add a full shuffle of the widest data.
     */
   def edges(triples: DataFrame): DataFrame =
     triples.select(
@@ -49,7 +50,7 @@ object Materialize {
       col("subj").as("src_key"),
       col("pred").as("rel_type"),
       substring_index(col("obj"), ":", 1).as("dst_label"),
-      col("obj").as("dst_key")).distinct()
+      col("obj").as("dst_key"))
 
   /** Referential-integrity filter: keep only edges whose BOTH endpoints exist
     * in the nodes table (double LEFT SEMI — S7/J9).
@@ -109,13 +110,14 @@ object Materialize {
     upsert(spark, s"$warehouse/nodes", n, Seq("key"), "key")
     val allNodes = spark.read.parquet(s"$warehouse/nodes")
     val e = withEndpointIntegrity(edges(triples), allNodes)
-      .withColumn("edge_key", concat_ws("|", col("src_key"), col("rel_type"), col("dst_key")))
-    upsert(spark, s"$warehouse/edges", e, Seq("edge_key"), "src_key")
+    upsert(spark, s"$warehouse/edges", e,
+      Seq("src_key", "rel_type", "dst_key"), "src_key")
   }
 
   def readNodes(spark: SparkSession, warehouse: String): DataFrame =
     spark.read.parquet(s"$warehouse/nodes").drop("bucket")
 
   def readEdges(spark: SparkSession, warehouse: String): DataFrame =
-    spark.read.parquet(s"$warehouse/edges").drop("bucket", "edge_key")
+    spark.read.parquet(s"$warehouse/edges").drop("bucket")
+      .select("src_label", "src_key", "rel_type", "dst_label", "dst_key")
 }

@@ -28,14 +28,23 @@ object Pipeline {
       canonical: DataFrame)
 
   def build(spark: SparkSession, turns: DataFrame): Stages = {
+    // lazy localCheckpoint rather than cache(): same recompute-avoidance for
+    // the three consumers, PLUS it truncates the logical plan — downstream
+    // trees (triples union × 11 branches, rewrite joins) otherwise each
+    // carry the full extract+link subtree into Catalyst analysis/
+    // optimization on every action, which is serial driver time
     val linkedPersons =
-      Link.linkPersons(Extract.speakerMentions(turns), Dict.personsDf(spark)).cache()
+      Link.linkPersons(Extract.speakerMentions(turns), Dict.personsDf(spark))
+        .localCheckpoint(false)
     val linkedZaken = Link.linkZaken(Extract.caseMentions(turns),
       Dict.zakenDf(spark), Dict.dossiersDf(spark), Dict.documentsDf(spark))
     val votes = Extract.voteMentions(turns)
     val triples = Triples.all(linkedPersons, linkedZaken, votes,
       Dict.personsDf(spark), Dict.fractiesDf(spark))
-    val canonMap = Canonicalize.canonicalMap(Canonicalize.components(linkedPersons))
+    // CC over the surface-form graph (bounded by the alias space), projected
+    // onto per-occurrence mention nodes — same result as occurrence-level CC
+    // at corpus-size-independent cost
+    val canonMap = Canonicalize.canonicalMapScalable(linkedPersons)
     val canonical = Canonicalize.rewrite(triples, canonMap)
     Stages(turns, linkedPersons, linkedZaken, votes, triples, canonical)
   }

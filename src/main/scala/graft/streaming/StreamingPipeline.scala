@@ -44,7 +44,7 @@ object StreamingPipeline {
     val triples = Triples.all(linked, linkedZaken, votes,
       Dict.personsDf(spark), Dict.fractiesDf(spark))
     val canonical = Canonicalize.rewrite(triples,
-      Canonicalize.canonicalMap(Canonicalize.components(linked)))
+      Canonicalize.canonicalMapScalable(linked))
     graft.materialize.Materialize.writeGraph(spark, warehouse, canonical)
     linked.unpersist()
   }

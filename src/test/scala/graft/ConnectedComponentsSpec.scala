@@ -64,6 +64,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("surface-level scalable canonical map equals occurrence-level CC on linker output") {
+    // shape of real linker output: one persoon per (surface) form
+    val linked = Seq(
+      ("c1", 0, "Anna", "Jansen", "P1"),
+      ("c2", 7, "Anna", "Jansen", "P1"), // same surface, different conv
+      ("c1", 5, "", "Jansen", "P1"),
+      ("c3", 2, "", "Berg", "P3")
+    ).toDF("conv_id", "turn_idx", "v_first", "v_last", "persoon_id")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val occurrence = asMap(Canonicalize.canonicalMap(Canonicalize.components(linked)))
+    val scalable = asMap(Canonicalize.canonicalMapScalable(linked))
+    assert(scalable == occurrence)
+  }
+
   test("canonicalMap prefers entity-namespaced representative") {
     val linked = Seq(
       // two mention surfaces both linking to P1 -> one cluster, canon persoon:P1
