@@ -86,6 +86,51 @@ object Canonicalize {
     mentionRows.unionByName(persoonRows)
   }
 
+  /** The dimension-sized slice of the canonical map: `persoon:* → canon`.
+    * Bounded by the dictionary (≈10^4 rows at production scale) — broadcast
+    * material, unlike the corpus-sized mention→canon projection.
+    */
+  def persoonCanonMap(linkedPersons: DataFrame): DataFrame =
+    canonicalMap(ConnectedComponents.run(surfaceEdges(linkedPersons)))
+      .where(col("node").startsWith("persoon:"))
+
+  /** Canonical triple set WITHOUT materializing the corpus-sized
+    * mention→canon map — the scale path `Pipeline.build` uses.
+    *
+    * Key fact (provable from the linker's construction): every
+    * MATCHES_PERSOON triple collapses to a self-loop under rewrite. A
+    * mention node's canon is the canon of its surface-form cluster; the
+    * linked persoon is IN that cluster (the (surface, persoon) edge exists
+    * because this linker row exists), so subj-canon == obj-canon, and
+    * `rewrite` drops the row. The canonical set is therefore exactly the
+    * NON-mention triples with `persoon:` endpoints rewritten through the
+    * tiny `persoonCanonMap` — two broadcast joins instead of two
+    * corpus-sized sort-merge joins, and when CC produced no cross-entity
+    * merges (the map is the identity — checked on the driver over the
+    * dimension-sized map, ~10^4 rows) the rewrite and the re-dedup are
+    * skipped entirely: the branches of `Triples.all` are each internally
+    * distinct and their predicates are pairwise disjoint, so their union is
+    * already a set.
+    */
+  def canonicalTriples(nonMentionTriples: DataFrame, persoonCanon: DataFrame): DataFrame = {
+    val hasMerges = !persoonCanon.where(col("node") =!= col("canon")).isEmpty
+    if (!hasMerges) nonMentionTriples
+    else {
+      val subjMap = broadcast(persoonCanon
+        .select(col("node").as("subj"), col("canon").as("subj_canon")))
+      val objMap = broadcast(persoonCanon
+        .select(col("node").as("obj"), col("canon").as("obj_canon")))
+      nonMentionTriples
+        .join(subjMap, Seq("subj"), "left")
+        .join(objMap, Seq("obj"), "left")
+        .select(
+          coalesce(col("subj_canon"), col("subj")).as("subj"),
+          col("pred"),
+          coalesce(col("obj_canon"), col("obj")).as("obj"))
+        .distinct()
+    }
+  }
+
   /** Rewrite triple endpoints through the canonical map (two left joins;
     * un-mapped nodes stay themselves), then re-dedup. Identity edges created
     * by the rewrite (mention → its own canon via MATCHES_PERSOON) collapse to

@@ -50,6 +50,12 @@ object ConnectedComponents {
       e = next
       iter += 1
     }
+    if (!converged)
+      // surface, don't silently mislabel: partially-converged labels would
+      // merge clusters incompletely downstream (ADVICE r1)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter rounds " +
+          s"(last signature $sig); raise maxIter")
     // At convergence every edge is (child, root): project to labels, and give
     // roots their own label row.
     val child = e.select(col("u").as("node"), col("v").as("component"))

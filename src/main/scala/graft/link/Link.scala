@@ -1,7 +1,6 @@
 package graft.link
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.model.MatchType
@@ -21,10 +20,14 @@ import graft.model.MatchType
   *  - Blocking = the join key (exact lowered surname), mirroring the
   *    reference's server-side `Achternaam eq '…'` filter (api_extractor.py:148-150);
   *    the contains-fallback tier only runs for mentions with no exact block hit.
-  *  - Best-candidate selection = row_number over (mention) ordered by
-  *    (score desc, persoon_id asc): a deterministic total order replacing the
-  *    reference's order-dependent first-best loop (name_matcher.py:71-81) —
-  *    stable under parallelism (SURVEY.md §7.4).
+  *  - Best-candidate selection = hash-aggregate argmax (`min_by` over the
+  *    struct key `(-score, persoon_id)`): a deterministic total order
+  *    replacing the reference's order-dependent first-best loop
+  *    (name_matcher.py:71-81) — stable under parallelism (SURVEY.md §7.4).
+  *    A hash aggregate rather than a `row_number` window: the window form
+  *    shuffles AND sorts every candidate row, while the aggregate partially
+  *    combines map-side and never sorts — at 10^12 mentions that is the
+  *    difference between a sort of the corpus and a streaming reduction.
   */
 object Link {
 
@@ -63,7 +66,12 @@ object Link {
   }
 
   /** Link speaker mentions to persons. Input: Extract.speakerMentions output.
-    * Output: mention keys + best persoon_id, score, match_type (or NO_MATCH).
+    * Output: one row per MATCHED mention — mention keys + best persoon_id,
+    * score, match_type (EXACT/FUZZY). Mentions with no candidate scoring
+    * ≥ MinSpeakerScore are dropped (the reference returns None for them,
+    * api_extractor.py:134-168); match-rate denominators therefore need the
+    * mention count — see `linkPersonsWithNoMatch` for the padded variant the
+    * ProcessingStatistics parity uses.
     */
   def linkPersons(mentions: DataFrame, persons: DataFrame): DataFrame = {
     val blocks = broadcast(personBlocks(persons))
@@ -93,14 +101,40 @@ object Link {
         col("bare"), col("full"), col("roepnaam"), col("voornamen")))
       .where(col("score") >= MinSpeakerScore)
 
-    val w = Window.partitionBy("conv_id", "turn_idx", "v_first", "v_last")
-      .orderBy(col("score").desc, col("persoon_id").asc)
-    candidates
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .drop("rn", "bare", "full", "roepnaam", "voornamen")
+    bestCandidate(candidates)
       .withColumn("match_type",
         when(col("score") >= ExactThreshold, MatchType.Exact).otherwise(MatchType.Fuzzy))
+  }
+
+  /** Deterministic argmax per mention key: min_by over the ordering struct
+    * `(-score, persoon_id)` ≡ (score desc, persoon_id asc). Hash aggregate —
+    * partial-combined map-side, no sort, skew-proof (hot mention keys combine
+    * before the shuffle).
+    */
+  private[link] def bestCandidate(candidates: DataFrame,
+      extraOrder: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+    candidates
+      .groupBy("conv_id", "turn_idx", "v_first", "v_last")
+      .agg(min_by(
+        struct(col("persoon_id"), col("fractie_id"), col("score")),
+        struct((extraOrder :+ (-col("score")).as("neg_score") :+
+          col("persoon_id")): _*)).as("best"))
+      .select(col("conv_id"), col("turn_idx"), col("v_first"), col("v_last"),
+        col("best.persoon_id").as("persoon_id"),
+        col("best.fractie_id").as("fractie_id"),
+        col("best.score").as("score"))
+
+  /** `linkPersons` padded back to one row per mention: unmatched mentions are
+    * emitted with null persoon_id, score 0, match_type NO_MATCH — the
+    * reference's ProcessingStatistics denominator semantics
+    * (vlos_pipeline.py:150-160 counts attempts, not successes).
+    */
+  def linkPersonsWithNoMatch(mentions: DataFrame, persons: DataFrame): DataFrame = {
+    val linked = linkPersons(mentions, persons)
+    mentions.select("conv_id", "turn_idx", "v_first", "v_last")
+      .join(linked, Seq("conv_id", "turn_idx", "v_first", "v_last"), "left")
+      .withColumn("score", coalesce(col("score"), lit(0)))
+      .withColumn("match_type", coalesce(col("match_type"), lit(MatchType.NoMatch)))
   }
 
   /** Zaak linking with the 3-tier fallback cascade — reference

@@ -41,11 +41,17 @@ object Pipeline {
     val votes = Extract.voteMentions(turns)
     val triples = Triples.all(linkedPersons, linkedZaken, votes,
       Dict.personsDf(spark), Dict.fractiesDf(spark))
-    // CC over the surface-form graph (bounded by the alias space), projected
-    // onto per-occurrence mention nodes — same result as occurrence-level CC
-    // at corpus-size-independent cost
-    val canonMap = Canonicalize.canonicalMapScalable(linkedPersons)
-    val canonical = Canonicalize.rewrite(triples, canonMap)
+    // Scale-path canonicalization: CC over the surface-form graph (bounded
+    // by the alias space, not the corpus), then rewrite only `persoon:`
+    // endpoints through the dimension-sized canon map (broadcast). The
+    // mention branch provably self-loops away under rewrite, so it is never
+    // computed here — equivalence with rewrite(all, canonicalMapScalable) is
+    // asserted in ConnectedComponentsSpec. This removes every corpus-sized
+    // shuffle from the canonicalize stage.
+    val canonical = Canonicalize.canonicalTriples(
+      Triples.allNonMention(linkedPersons, linkedZaken, votes,
+        Dict.personsDf(spark), Dict.fractiesDf(spark)),
+      Canonicalize.persoonCanonMap(linkedPersons))
     Stages(turns, linkedPersons, linkedZaken, votes, triples, canonical)
   }
 }

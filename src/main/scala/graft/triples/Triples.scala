@@ -121,19 +121,28 @@ object Triples {
         triRaw(col("vote_key"), Pred.CastByFractie, concat(lit(F), col("fractie_id")))(withId))
   }
 
-  /** The full triple set. Inputs are the upstream stage outputs; dims are the
-    * dictionary DataFrames.
+  /** Every branch except mention provenance — the input to the scale-path
+    * canonicalization (`Canonicalize.canonicalTriples`), which proves the
+    * mention branch always self-loops away. Branches are each internally
+    * distinct and predicates are pairwise disjoint, so this union is a set.
     */
-  def all(linkedPersons: DataFrame, linkedZaken: DataFrame,
+  def allNonMention(linkedPersons: DataFrame, linkedZaken: DataFrame,
       voteMentions: DataFrame, persons: DataFrame, fracties: DataFrame): DataFrame = {
     val speakers = linkedPersons
       .select(col("conv_id"), col("turn_idx"), col("persoon_id").as("speaker"))
-    mentionMatches(linkedPersons)
-      .unionByName(spokeIn(linkedPersons))
+    spokeIn(linkedPersons)
       .unionByName(discusses(linkedPersons, linkedZaken))
       .unionByName(containment(linkedPersons, linkedZaken))
       .unionByName(memberOf(persons))
       .unionByName(interruptions(speakers))
       .unionByName(votes(voteMentions, fracties))
   }
+
+  /** The full triple set. Inputs are the upstream stage outputs; dims are the
+    * dictionary DataFrames.
+    */
+  def all(linkedPersons: DataFrame, linkedZaken: DataFrame,
+      voteMentions: DataFrame, persons: DataFrame, fracties: DataFrame): DataFrame =
+    mentionMatches(linkedPersons)
+      .unionByName(allNonMention(linkedPersons, linkedZaken, voteMentions, persons, fracties))
 }

@@ -79,6 +79,45 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(scalable == occurrence)
   }
 
+  test("scale-path canonicalTriples equals generic rewrite (identity and merge cases)") {
+    import org.apache.spark.sql.functions.col
+    val personsDim = Seq(("P1", "F1"), ("P2", "F1"), ("P3", "F2"))
+      .toDF("persoon_id", "fractie_id")
+    val fractiesDim = Seq(("Alpha", "F1"), ("Beta", "F2")).toDF("naam", "fractie_id")
+    val zaken = Seq(("c1", 0, "Z1", "EXACT")).toDF("conv_id", "turn_idx", "entity_id", "match_type")
+    val votes = Seq(("c1", 3, "Alpha", "voor")).toDF("conv_id", "turn_idx", "fractie_naam", "vote_norm")
+    def canonSets(linked: org.apache.spark.sql.DataFrame) = {
+      val full = graft.canonicalize.Canonicalize.rewrite(
+        graft.triples.Triples.all(linked, zaken, votes, personsDim, fractiesDim),
+        Canonicalize.canonicalMapScalable(linked))
+      val fast = Canonicalize.canonicalTriples(
+        graft.triples.Triples.allNonMention(linked, zaken, votes, personsDim, fractiesDim),
+        Canonicalize.persoonCanonMap(linked))
+      def s(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("subj"), col("pred"), col("obj"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      (s(full), s(fast))
+    }
+    // identity case: argmax-shaped linker output (one persoon per surface)
+    val clean = Seq(
+      ("c1", 0, "Anna", "Jansen", "P1"),
+      ("c1", 2, "", "Berg", "P2"),
+      ("c1", 5, "", "Jansen", "P1")
+    ).toDF("conv_id", "turn_idx", "v_first", "v_last", "persoon_id")
+    val (fullClean, fastClean) = canonSets(clean)
+    assert(fastClean == fullClean)
+    // merge case: one surface linking two entities collapses P3 into P2
+    val merged = Seq(
+      ("c1", 0, "Anna", "Jansen", "P1"),
+      ("c2", 1, "", "Smit", "P2"),
+      ("c2", 4, "", "Smit", "P3")
+    ).toDF("conv_id", "turn_idx", "v_first", "v_last", "persoon_id")
+    val (fullMerged, fastMerged) = canonSets(merged)
+    assert(fastMerged == fullMerged)
+    assert(fastMerged.exists(_._1 == "persoon:P2") &&
+      !fastMerged.exists(t => t._1 == "persoon:P3" && t._2 == "SPOKE_IN"))
+  }
+
   test("canonicalMap prefers entity-namespaced representative") {
     val linked = Seq(
       // two mention surfaces both linking to P1 -> one cluster, canon persoon:P1
