@@ -35,6 +35,17 @@ object SparkEntry {
 
   // ---- training-data operator inputs ----
 
+  /** ANN-LSH configuration of record: ≥16 bits (buckets scale with n) ×
+    * 8 tables (recall lever). NOTE the driver's synthetic embeddings are
+    * isotropic (measured: true top-5 neighbors at θ/π ≈ 0.4, same-label mean
+    * cosine ≈ 0.002) — no bucketing scheme can reach high recall with a real
+    * speedup on them; `td_ann_lsh_recall` reports the honest measured number,
+    * and SimilaritySpec demonstrates recall ≥ 0.9 at this exact configuration
+    * on clustered vectors, where LSH is information-theoretically able to win.
+    */
+  val AnnBits = 16
+  val AnnTables = 8
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -53,6 +64,63 @@ object SparkEntry {
     d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"),
       regexp_replace(col("text"), "\\s+\\S+$", "").as("text")))
   }
+
+  /** Synthesized activity-matching sides (shared by kg_activity_match and
+    * the J7 zaak-union query): per-conversation XML activity + 3 API
+    * candidates, with a soort-alias row (xml 'sluiting' vs api containing
+    * 'stemmingen') every 7th conversation — F12 coverage.
+    */
+  private def synthActivities(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val bounds = turns(s, dir)
+      .groupBy("conv_id")
+      .agg(
+        min(unix_micros(col("ts").cast("timestamp"))).as("beg_us"),
+        max(unix_micros(col("ts").cast("timestamp"))).as("end_us"))
+      .withColumn("u", substring(col("conv_id"), 2, 18).cast("int"))
+    val dnr = (lit(36000) + col("u") % 50).cast("int").cast("string")
+    val xml = bounds.select(
+      col("conv_id"), lit(0).as("xml_id"),
+      col("beg_us").as("x_beg_us"), col("end_us").as("x_end_us"),
+      when(col("u") % 7 === 0, "sluiting").otherwise("debat").as("x_soort"),
+      concat(lit("Debat over dossier "), dnr).as("x_topic"))
+    val cand = bounds
+      .withColumn("cand_idx", explode(lit((0 until 3).toArray)))
+      .withColumn("offs",
+        when(col("cand_idx") === 0,
+          when(col("u") % 2 === 0, 0L).otherwise(400000000L))
+          .when(col("cand_idx") === 1, 1000000000L)
+          .otherwise(2000000000L))
+      .select(
+        col("conv_id"), col("cand_idx"), col("u"),
+        (col("beg_us") + col("offs")).as("a_beg_us"),
+        (col("end_us") + col("offs")).as("a_end_us"),
+        when(col("cand_idx") === 0, "plenair debat")
+          .when(col("cand_idx") === 1, "debat")
+          .otherwise("stemmingen overig").as("a_soort"),
+        when(col("cand_idx") === 0, concat(lit("Dossier "), dnr))
+          .when(col("cand_idx") === 1,
+            concat(lit("Begrotingsbehandeling hoofdstuk "),
+              (col("u") % 12).cast("string")))
+          .otherwise(lit("Stemmingen over ingediende moties plenair"))
+          .as("a_topic"))
+    (xml, cand)
+  }
+
+  /** Agendapunt→zaak refs of the candidate activities (J7 side table). */
+  private def synthApZaken(cand: DataFrame): DataFrame =
+    cand.select(col("conv_id"), col("cand_idx"),
+      (lit(36000) + (col("u") + col("cand_idx") + 3) % 50).cast("int").as("dossier_nr"),
+      (lit(1) + (col("u") + col("cand_idx")) % 7).cast("int").as("stuk_nr"))
+
+  /** Enum-seed rows shared by the Spark query and its VALUES oracle. */
+  private def enumRows: Seq[(String, String)] =
+    Seq(graft.model.MatchType.Exact, graft.model.MatchType.Fuzzy,
+      graft.model.MatchType.Fallback, graft.model.MatchType.NoMatch)
+      .map(v => ("match_type", s"match_type:$v")) ++
+      Seq(graft.model.InterruptionType.Simple,
+        graft.model.InterruptionType.WithResponse)
+        .map(v => ("interruption_type", s"interruption_type:$v")) ++
+      graft.model.Pred.All.map(p => ("pred", s"pred:$p"))
 
   /** Flagship: the full extract→link→triples→canonicalize pipeline on
     * sf0.001; driver smoke-checks rows>0.
@@ -124,9 +192,15 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
 
-    // Analysis: A8 interruption pairs (partial-agg groupBy)
+    // Analysis: A8 interruption pairs with the reference's full enrichment
+    // (topic set + bounded example slice per pair)
     "kg_interruption_pairs" -> ((s, dir) => {
-      Interruptions.pairs(Interruptions.detect(linkedSpeakers(s, dir)))
+      val topics = Link.linkZaken(Extract.caseMentions(turns(s, dir)),
+          Dict.zakenDf(s), Dict.dossiersDf(s), Dict.documentsDf(s))
+        .where(col("entity_id").isNotNull)
+        .select(col("conv_id"), col("dossier_nr").cast("string").as("topic")).distinct()
+      Interruptions.pairsEnriched(
+        Interruptions.detect(linkedSpeakers(s, dir)), topics)
     }),
 
     // Analysis: A10 response patterns
@@ -224,10 +298,16 @@ object SparkEntry {
         .orderBy("vec_id", "rank")
     }),
 
-    // Similarity: sign-LSH bucketed approximate top-k (scale path)
+    // Similarity: multi-table random-hyperplane sign-LSH top-k (scale path)
     "td_ann_lsh_topk" -> ((s, dir) => {
-      graft.dataops.Similarity.lshTopK(embeddings(s, dir), 5, 4)
+      graft.dataops.Similarity.lshTopK(embeddings(s, dir), 5, AnnBits, AnnTables)
         .orderBy("vec_id", "rank")
+    }),
+
+    // Similarity: measured recall@k of the LSH path vs the exact baseline —
+    // the approximation quality emitted as data (one row)
+    "td_ann_lsh_recall" -> ((s, dir) => {
+      graft.dataops.Similarity.lshRecall(embeddings(s, dir), 5, AnnBits, AnnTables)
     }),
 
     // Text: language-ID heuristic
@@ -258,41 +338,53 @@ object SparkEntry {
     }),
 
     // Matching: J3 time-window candidate join + §2.9 weighted score + W4
-    // runner-up margin over synthesized xml/candidate activity sides
+    // runner-up margin + F12 soort-alias branch over synthesized
+    // xml/candidate activity sides
     "kg_activity_match" -> ((s, dir) => {
-      val bounds = turns(s, dir)
-        .groupBy("conv_id")
-        .agg(
-          min(unix_micros(col("ts").cast("timestamp"))).as("beg_us"),
-          max(unix_micros(col("ts").cast("timestamp"))).as("end_us"))
-        .withColumn("u", substring(col("conv_id"), 2, 18).cast("int"))
-      val dnr = (lit(36000) + col("u") % 50).cast("int").cast("string")
-      val xml = bounds.select(
-        col("conv_id"), lit(0).as("xml_id"),
-        col("beg_us").as("x_beg_us"), col("end_us").as("x_end_us"),
-        lit("debat").as("x_soort"),
-        concat(lit("Debat over dossier "), dnr).as("x_topic"))
-      val cand = bounds
-        .withColumn("cand_idx", explode(lit((0 until 3).toArray)))
-        .withColumn("offs",
-          when(col("cand_idx") === 0,
-            when(col("u") % 2 === 0, 0L).otherwise(400000000L))
-            .when(col("cand_idx") === 1, 1000000000L)
-            .otherwise(2000000000L))
-        .select(
-          col("conv_id"), col("cand_idx"),
-          (col("beg_us") + col("offs")).as("a_beg_us"),
-          (col("end_us") + col("offs")).as("a_end_us"),
-          when(col("cand_idx") === 0, "plenair debat")
-            .when(col("cand_idx") === 1, "debat")
-            .otherwise("vergadering overig").as("a_soort"),
-          when(col("cand_idx") === 0, concat(lit("Dossier "), dnr))
-            .when(col("cand_idx") === 1,
-              concat(lit("Begrotingsbehandeling hoofdstuk "),
-                (col("u") % 12).cast("string")))
-            .otherwise(lit("Stemmingen over ingediende moties plenair"))
-            .as("a_topic"))
-      graft.matching.ActivityMatch.matchActivities(xml, cand).orderBy("conv_id")
+      val (xml, cand) = synthActivities(s, dir)
+      graft.matching.ActivityMatch.matchActivities(xml, cand.drop("u"))
+        .orderBy("conv_id")
+    }),
+
+    // S2: nested arrays-of-structs child collection + explode_outer flatten
+    "kg_nested_explode" -> ((s, dir) => {
+      graft.extract.Expand.flattenAttachments(
+        graft.extract.Expand.withAttachments(turns(s, dir)))
+        .orderBy("conv_id", "turn_idx", "att_id")
+    }),
+
+    // REL_MAP-declarative edge extraction over the expanded turn entity
+    "kg_relmap_edges" -> ((s, dir) => {
+      graft.triples.RelMap.edges(
+        graft.extract.Expand.withAttachments(turns(s, dir)),
+        graft.triples.RelMap.TurnRels)
+        .orderBy("subj", "pred", "obj")
+    }),
+
+    // J2: actor-priority candidate tier ahead of the global dictionary
+    "kg_link_persons_priority" -> ((s, dir) => {
+      val t = turns(s, dir)
+      val actors = t.select(col("conv_id"),
+          substring(col("conv_id"), 2, 18).cast("int").as("u")).distinct()
+        .select(col("conv_id"),
+          when(col("u") % 2 === 0, "P24").otherwise("P01").as("persoon_id"))
+      Link.linkPersonsPriority(Extract.speakerMentions(t),
+          Dict.personsExtDf(s), actors)
+        .select("conv_id", "turn_idx", "v_first", "v_last", "persoon_id",
+          "fractie_id", "score", "source", "match_type")
+        .orderBy("conv_id", "turn_idx", "v_last")
+    }),
+
+    // J7/U1: agendapunt-derived zaak tier unioned with text-derived matches
+    "kg_link_zaken_union" -> ((s, dir) => {
+      val (xml, cand) = synthActivities(s, dir)
+      val accepted = graft.matching.ActivityMatch
+        .matchActivities(xml, cand.drop("u"))
+        .where(col("accepted"))
+      val textLinked = Link.linkZaken(Extract.caseMentions(turns(s, dir)),
+        Dict.zakenDf(s), Dict.dossiersDf(s), Dict.documentsDf(s))
+      Link.linkZakenUnion(textLinked, accepted, synthApZaken(cand), Dict.zakenDf(s))
+        .orderBy("conv_id", "source", "dossier_nr", "stuk_nr", "turn_idx")
     }),
 
     // Segmentation: activity containers as running 'opening'-marker counts
@@ -336,6 +428,23 @@ object SparkEntry {
       Extract.dedupSpeakers(Extract.speakerMentions(turns(s, dir)))
         .select("conv_id", "v_first", "v_last", "turn_idx", "kind")
         .orderBy("conv_id", "v_first", "v_last")
+    }),
+
+    // O4: bounded text previews (substring projection — reference's
+    // example/preview slices)
+    "kg_previews" -> ((s, dir) => {
+      turns(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          substring(col("text"), 1, 40).as("preview"),
+          length(col("text")).as("n_chars"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // Enum-seed dimension nodes (reference seed_enums.py:10-25): the static
+    // vocabulary enums materialized as graph dimension rows
+    "kg_seed_enum_nodes" -> ((s, dir) => {
+      import s.implicits._
+      enumRows.toDF("label", "key").orderBy("label", "key")
     }),
 
     // A9: topics present in conversations with interruptions, by count
@@ -391,9 +500,31 @@ object SparkEntry {
         |FROM interruptions ORDER BY conv_id, turn_idx""".stripMargin),
 
     "kg_interruption_pairs" -> OracleSql.withCtes(
-      OracleSql.speakerMentionsCte, OracleSql.linkPersonsCte, OracleSql.interruptionsCte)(
-      """SELECT interrupter, interrupted, COUNT(*) AS n
-        |FROM interruptions GROUP BY 1, 2
+      (Seq(OracleSql.speakerMentionsCte, OracleSql.linkPersonsCte,
+        OracleSql.interruptionsCte, OracleSql.caseMentionsCte) ++
+        OracleSql.zakenCtes :+ OracleSql.linkZakenCte): _*)(
+      """SELECT p.interrupter, p.interrupted, p.n, COALESCE(t.topics, '') AS topics,
+        |       e.examples
+        |FROM (SELECT interrupter, interrupted, COUNT(*) AS n
+        |      FROM interruptions GROUP BY 1, 2) p
+        |JOIN (SELECT interrupter, interrupted,
+        |             string_agg(ex, ';' ORDER BY ex) AS examples
+        |      FROM (SELECT interrupter, interrupted, ex,
+        |                   ROW_NUMBER() OVER (PARTITION BY interrupter, interrupted
+        |                                      ORDER BY ex) AS rn
+        |            FROM (SELECT interrupter, interrupted,
+        |                         conv_id || ':' || CAST(turn_idx AS VARCHAR) AS ex
+        |                  FROM interruptions))
+        |      WHERE rn <= 3 GROUP BY 1, 2) e
+        |  USING (interrupter, interrupted)
+        |LEFT JOIN (SELECT i.interrupter, i.interrupted,
+        |                  string_agg(DISTINCT tp.topic, ',' ORDER BY tp.topic) AS topics
+        |           FROM interruptions i
+        |           JOIN (SELECT DISTINCT conv_id, CAST(dossier_nr AS VARCHAR) AS topic
+        |                 FROM linked_zaken WHERE entity_id IS NOT NULL) tp
+        |             USING (conv_id)
+        |           GROUP BY 1, 2) t
+        |  USING (interrupter, interrupted)
         |ORDER BY n DESC, interrupter, interrupted""".stripMargin),
 
     "kg_response_patterns" -> OracleSql.withCtes(
@@ -490,8 +621,13 @@ object SparkEntry {
       DataOpsSql.annPairsCte, DataOpsSql.annTopKCte(5))(
       "SELECT vec_id, neighbor_id, cos_1e6, rank FROM ann_topk ORDER BY vec_id, rank"),
 
-    "td_ann_lsh_topk" -> DataOpsSql.withDocCtes(DataOpsSql.annLshTopKCte(5, 4))(
+    "td_ann_lsh_topk" -> DataOpsSql.withDocCtes(
+      DataOpsSql.annLshTopKCte(5, AnnBits, AnnTables, 64))(
       "SELECT vec_id, neighbor_id, cos_1e6, rank FROM ann_topk ORDER BY vec_id, rank"),
+
+    "td_ann_lsh_recall" -> DataOpsSql.withDocCtes(
+      DataOpsSql.annLshRecallCte(5, AnnBits, AnnTables, 64))(
+      "SELECT n_queries, n_hits, n_exact, recall_permille FROM lsh_recall"),
 
     "td_lang_id" -> DataOpsSql.withDocCtes(DataOpsSql.langIdCte)(
       """SELECT doc_id, nl_hits, en_hits, n_words, lang_pred, confidence_permille
@@ -517,6 +653,40 @@ object SparkEntry {
     "kg_activity_match" -> OracleSql.withCtes(MatchSql.activityMatchCtes)(
       """SELECT conv_id, xml_id, cand_idx, score_x2, runner_x2, accepted, match_type
         |FROM activity_match ORDER BY conv_id""".stripMargin),
+
+    "kg_nested_explode" -> OracleSql.withCtes(OracleSql.attachmentsCte)(
+      """SELECT conv_id, turn_idx, role, tool, att_id, kind, size_bytes
+        |FROM att_exp ORDER BY conv_id, turn_idx, att_id""".stripMargin),
+
+    "kg_relmap_edges" -> OracleSql.withCtes(
+      OracleSql.attachmentsCte, OracleSql.relmapEdgesCte)(
+      "SELECT subj, pred, obj FROM relmap_edges ORDER BY subj, pred, obj"),
+
+    "kg_link_persons_priority" -> OracleSql.withCtes(
+      Dict.personsExtSql, OracleSql.speakerMentionsCte,
+      OracleSql.actorsCte, OracleSql.linkPriorityCte)(
+      """SELECT conv_id, turn_idx, v_first, v_last, persoon_id, fractie_id, score,
+        |       source, match_type
+        |FROM linked_priority ORDER BY conv_id, turn_idx, v_last""".stripMargin),
+
+    "kg_link_zaken_union" -> OracleSql.withCtes(
+      (Seq(OracleSql.caseMentionsCte) ++ OracleSql.zakenCtes ++
+        Seq(OracleSql.linkZakenCte, MatchSql.activityMatchCtes,
+          OracleSql.apZakenCte, OracleSql.linkZakenUnionCte)): _*)(
+      """SELECT conv_id, turn_idx, dossier_nr, stuk_nr, entity_id, score, match_type, source
+        |FROM linked_zaken_union
+        |ORDER BY conv_id, source, dossier_nr, stuk_nr, turn_idx""".stripMargin),
+
+    "kg_previews" -> OracleSql.withCtes()(
+      """SELECT conv_id, turn_idx, substr(text, 1, 40) AS preview,
+        |       CAST(length(text) AS INT) AS n_chars
+        |FROM transcripts ORDER BY conv_id, turn_idx""".stripMargin),
+
+    "kg_seed_enum_nodes" -> {
+      val values = enumRows
+        .map { case (l, k) => s"('$l', '$k')" }.mkString(", ")
+      s"SELECT label, key FROM (VALUES $values) t(label, key) ORDER BY label, key"
+    },
 
     "kg_segments" -> OracleSql.withCtes()(
       """SELECT conv_id, turn_idx,

@@ -70,6 +70,31 @@ object Interruptions {
     events.groupBy("interrupter", "interrupted").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("interrupter"), col("interrupted"))
 
+  /** A8 full shape: pairs enriched with the topic set and bounded example
+    * slices the reference carries per pair (interruption_analyzer.py:120-143:
+    * `{count, topics: set, examples: list[:3]}`). `convTopics` is
+    * `(conv_id, topic)`; examples are the 3 lexicographically-smallest
+    * `conv:turn` refs (deterministic stand-in for the reference's
+    * first-3-encountered under its serial scan). Topics join runs as a
+    * separate aggregate so the per-pair count stays the event count, not the
+    * topic-multiplied row count.
+    */
+  def pairsEnriched(events: DataFrame, convTopics: DataFrame): DataFrame = {
+    val ev = events.withColumn("example",
+      concat_ws(":", col("conv_id"), col("turn_idx")))
+    val base = ev.groupBy("interrupter", "interrupted")
+      .agg(count(lit(1)).as("n"),
+        array_join(slice(sort_array(collect_list(col("example"))), 1, 3), ";")
+          .as("examples"))
+    val tp = ev.select("conv_id", "interrupter", "interrupted")
+      .join(convTopics, Seq("conv_id"))
+      .groupBy("interrupter", "interrupted")
+      .agg(array_join(sort_array(collect_set(col("topic"))), ",").as("topics"))
+    base.join(tp, Seq("interrupter", "interrupted"), "left")
+      .withColumn("topics", coalesce(col("topics"), lit("")))
+      .orderBy(col("n").desc, col("interrupter"), col("interrupted"))
+  }
+
   /** A10: response patterns — who responded to whom (the interrupted speaker
     * responding after an INTERRUPTION_WITH_RESPONSE event) —
     * reference interruption_analyzer.py:160-179.

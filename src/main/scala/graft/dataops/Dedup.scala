@@ -78,14 +78,29 @@ object Dedup {
     perBand.reduce(_ unionByName _)
   }
 
+  /** Hot-band guard shared by the sketch joins: drop bucket keys whose group
+    * exceeds `maxFreq` BEFORE the self-join — a mass of exact duplicates
+    * sharing one bucket otherwise makes that bucket quadratic (the same
+    * stop-shingle logic `ngramJaccardPairs` uses). Dropped buckets are
+    * mass-duplicate clusters; exact dedup (run first in a real pipeline)
+    * owns those.
+    */
+  private def capBuckets(banded: DataFrame, keys: Seq[String], maxFreq: Int): DataFrame = {
+    val ok = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bf")).where(col("bf") <= maxFreq)
+    banded.join(ok.select(keys.map(col): _*), keys, "left_semi")
+  }
+
   /** Candidate near-dup pairs via LSH bucket self-join, verified by the
     * signature-agreement estimate (matching components / k). Same-bucket ⇒
     * candidate; est_jaccard permille ≥ threshold ⇒ emitted. Pairs are
-    * (doc_a < doc_b), distinct across bands.
+    * (doc_a < doc_b), distinct across bands. `maxBandFreq` caps bucket
+    * width (skew guard — see `capBuckets`).
     */
-  def minhashPairs(documents: DataFrame, minPermille: Int = 500): DataFrame = {
+  def minhashPairs(documents: DataFrame, minPermille: Int = 500,
+      maxBandFreq: Int = 256): DataFrame = {
     val sig = minhashSignatures(shingles(documents))
-    val b = bands(sig)
+    val b = capBuckets(bands(sig), Seq("band", "band_hash"), maxBandFreq)
     val candidates = b.as("l").join(b.as("r"),
         col("l.band") === col("r.band") &&
         col("l.band_hash") === col("r.band_hash") &&
@@ -164,12 +179,14 @@ object Dedup {
     * within Hamming distance 3 shares ≥1 exact band), verified by
     * `bit_count(xor) <= maxHamming`.
     */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3,
+      maxBandFreq: Int = 256): DataFrame = {
     val sh = simhash(documents)
-    val banded = (0 until 4).map { b =>
+    val bandedAll = (0 until 4).map { b =>
       sh.select(col("doc_id"), col("simhash"), lit(b).as("band"),
         shiftright(col("simhash"), b * 8).bitwiseAND(0xFF).as("band_bits"))
     }.reduce(_ unionByName _)
+    val banded = capBuckets(bandedAll, Seq("band", "band_bits"), maxBandFreq)
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") &&
         col("l.band_bits") === col("r.band_bits") &&

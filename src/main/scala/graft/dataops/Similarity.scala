@@ -6,14 +6,25 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Two paths, same output contract (vec_id, neighbor_id, cos_1e6, rank):
+  * Three paths, shared output contract (vec_id, neighbor_id, cos_1e6, rank):
   *  - `bruteForceTopK`: exact all-pairs cosine — the correctness baseline.
   *    O(n²·d); only for verification scale.
-  *  - `lshTopK`: the scale path — sign-LSH bucketing (hyperplane = coordinate
-  *    axes of the leading dims, deterministic and oracle-expressible; swap in
-  *    random-projection planes for production) restricts the pair join to
-  *    same-bucket vectors: at 100 TB, bucket-partitioned self-join instead of
-  *    a cross join.
+  *  - `lshTopK`: the 100 TB path — multi-table random-hyperplane sign-LSH.
+  *    Per table: `nBits` seeded ±1 hyperplanes hash each vector to a bucket;
+  *    candidates are the union over tables of same-bucket pairs, so the pair
+  *    join shuffles on (table, bucket) keys and NEVER goes all-pairs.
+  *    Bucket count 2^nBits scales with n (nBits ≈ log2(n/targetBucket));
+  *    recall scales with nTables. Hyperplane literals are generated from a
+  *    fixed xorshift seed and embedded in both the Spark plan and the DuckDB
+  *    oracle, so the approximate result is still hash-verified exactly.
+  *  - `lshRecall`: measured recall@k of `lshTopK` vs `bruteForceTopK` — the
+  *    quality metric emitted as data, not a claim. NOTE (measured on the
+  *    driver's synthetic embeddings): true top-5 neighbors sit at θ/π ≈ 0.4
+  *    — isotropic, clusterless vectors — where ANY hashing scheme needs
+  *    near-exhaustive candidate coverage for high recall (per-bit collision
+  *    0.6 vs 0.5 for random pairs). SimilaritySpec demonstrates
+  *    recall ≥ 0.9 at 16 bits × 8 tables with sub-quadratic candidates on
+  *    clustered vectors, where LSH is information-theoretically able to win.
   *
   * All arithmetic in double with a deterministic left-to-right fold
   * (`aggregate` over the zipped arrays), then scores are fixed-pointed to
@@ -53,27 +64,80 @@ object Similarity {
     ranked(pairs, k)
   }
 
-  /** Sign-LSH bucket key: the sign pattern of the first `nBits` dimensions.
-    * Deterministic, SQL-expressible; production swaps in seeded
-    * random-projection hyperplanes (same plan shape).
+  /** Deterministic ±1 hyperplane patterns: `nTables × nBits` patterns of
+    * length `dim`, from a fixed xorshift64 stream — the SAME doubles are
+    * embedded as literals in the DuckDB oracle (DataOpsSql.hyperplaneSql).
     */
-  def signBucket(emb: Column, nBits: Int): Column =
-    concat((0 until nBits).map(i =>
-      when(element_at(emb, i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
+  def hyperplanes(dim: Int, nBits: Int, nTables: Int): Seq[Seq[Array[Double]]] = {
+    var x = 2463534242L
+    def nextSign(): Double = {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      if ((x & 1L) == 0L) 1.0 else -1.0
+    }
+    Seq.fill(nTables)(Seq.fill(nBits)(Array.fill(dim)(nextSign())))
+  }
 
-  /** Approximate top-k: candidate pairs limited to the same sign bucket.
-    * Recall < 1 by design (that's the approximation); the pair join shuffles
-    * on the bucket key only.
+  /** Sign bucket of one table: concat of sign bits of the hyperplane dots. */
+  private def tableBucket(emb: Column, planes: Seq[Array[Double]]): Column =
+    concat(planes.map { p =>
+      val dot = aggregate(
+        zip_with(emb, lit(p), (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+      when(dot >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** (vec_id, emb, table, bucket) — one row per vector per table. */
+  private def bucketed(embeddings: DataFrame, dim: Int, nBits: Int,
+      nTables: Int): DataFrame = {
+    val hp = hyperplanes(dim, nBits, nTables)
+    val p = prep(embeddings)
+    (0 until nTables).map { t =>
+      p.select(col("vec_id"), col("emb"), lit(t).as("table"),
+        tableBucket(col("emb"), hp(t)).as("bucket"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Candidate (vec_id, neighbor_id) pairs: same bucket in ANY table,
+    * deduplicated across tables. The self-join shuffles on (table, bucket).
+    * Public so quality evidence (candidate-count sub-quadraticity) can be
+    * asserted directly.
     */
-  def lshTopK(embeddings: DataFrame, k: Int = 5, nBits: Int = 4): DataFrame = {
-    val withBucket = prep(embeddings)
-      .withColumn("bucket", signBucket(col("emb"), nBits))
-    val l = withBucket.toDF("vec_id", "emb", "bucket")
-    val r = withBucket.toDF("neighbor_id", "emb_r", "bucket")
-    val pairs = l.join(r, Seq("bucket"))
+  def candidates(embeddings: DataFrame, dim: Int, nBits: Int,
+      nTables: Int): DataFrame = {
+    val b = bucketed(embeddings, dim, nBits, nTables)
+    val l = b.select(col("table"), col("bucket"), col("vec_id"), col("emb"))
+    val r = b.select(col("table"), col("bucket"),
+      col("vec_id").as("neighbor_id"), col("emb").as("emb_r"))
+    l.join(r, Seq("table", "bucket"))
       .where(col("vec_id") =!= col("neighbor_id"))
+      .select("vec_id", "neighbor_id", "emb", "emb_r")
+      .dropDuplicates("vec_id", "neighbor_id")
+  }
+
+  /** Approximate top-k via multi-table sign-LSH (see object Scaladoc). */
+  def lshTopK(embeddings: DataFrame, k: Int = 5, nBits: Int = 16,
+      nTables: Int = 8, dim: Int = 64): DataFrame = {
+    val pairs = candidates(embeddings, dim, nBits, nTables)
       .select(col("vec_id"), col("neighbor_id"),
         floor(cosine(col("emb"), col("emb_r")) * 1e6).cast("long").as("cos_1e6"))
     ranked(pairs, k)
+  }
+
+  /** Measured recall@k of the LSH result vs the exact baseline, as one row:
+    * (n_queries, n_hits, n_exact, recall_permille). A neighbor counts as hit
+    * when the (vec_id, neighbor_id) pair appears in the exact top-k —
+    * rank-agnostic set recall, the standard ANN metric.
+    */
+  def lshRecall(embeddings: DataFrame, k: Int = 5, nBits: Int = 16,
+      nTables: Int = 8, dim: Int = 64): DataFrame = {
+    val exact = bruteForceTopK(embeddings, k).select("vec_id", "neighbor_id")
+    val approx = lshTopK(embeddings, k, nBits, nTables, dim)
+      .select("vec_id", "neighbor_id")
+    val hits = exact.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
+    exact.agg(
+      countDistinct(col("vec_id")).as("n_queries"),
+      count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_queries"), col("n_hits"), col("n_exact"),
+        floor(col("n_hits") * 1000 / col("n_exact")).cast("int").as("recall_permille"))
   }
 }

@@ -137,6 +137,94 @@ object Link {
       .withColumn("match_type", coalesce(col("match_type"), lit(MatchType.NoMatch)))
   }
 
+  /** J2: actor-priority candidate generation — the persons who are actors of
+    * the conversation's matched activity are searched FIRST; the global
+    * dictionary is consulted only when no actor candidate clears the
+    * threshold (reference api_extractor.py:134-155: `find_persoon_by_name`
+    * priority 1 = `_find_best_persoon_from_actors`, priority 2 = the global
+    * Achternaam search). Priority is the leading component of the argmax
+    * ordering (`source_rank` 0 = actor, 1 = global), so an actor-tier hit
+    * beats any global candidate regardless of score — exactly the
+    * reference's early-return.
+    *
+    * `actors`: `(conv_id, persoon_id)` — per-conversation actor sets. At
+    * production scale this side is conv-count-sized (NOT broadcast): the
+    * join on `(conv_id, surname-block)` is a shuffle equi-join, co-partitioned
+    * with every other per-conversation stage.
+    */
+  def linkPersonsPriority(mentions: DataFrame, persons: DataFrame,
+      actors: DataFrame): DataFrame = {
+    val blocks = personBlocks(persons)
+    val actorSide = actors
+      .select(col("conv_id").as("a_conv"), col("persoon_id").as("a_pid"))
+      .join(blocks.withColumnRenamed("persoon_id", "b_pid"),
+        col("a_pid") === col("b_pid"))
+      .withColumnRenamed("b_pid", "persoon_id")
+    val mcols = Seq("conv_id", "turn_idx", "v_first", "v_last",
+      "persoon_id", "fractie_id", "bare", "full", "roepnaam", "voornamen")
+    val actorCands = mentions
+      .join(actorSide, mentions("conv_id") === col("a_conv") &&
+        lower(mentions("v_last")) === actorSide("block_key"))
+      .select(mcols.map(col): _*)
+      .withColumn("source_rank", lit(0))
+    val globalCands = mentions
+      .join(broadcast(blocks), lower(mentions("v_last")) === blocks("block_key"))
+      .select(mcols.map(col): _*)
+      .withColumn("source_rank", lit(1))
+    val scored = actorCands.unionByName(globalCands)
+      .withColumn("score", nameScore(col("v_first"), col("v_last"),
+        col("bare"), col("full"), col("roepnaam"), col("voornamen")))
+      .where(col("score") >= MinSpeakerScore)
+    scored
+      .groupBy("conv_id", "turn_idx", "v_first", "v_last")
+      .agg(min_by(
+        struct(col("persoon_id"), col("fractie_id"), col("score"), col("source_rank")),
+        struct(col("source_rank"), (-col("score")).as("neg_score"),
+          col("persoon_id"))).as("best"))
+      .select(col("conv_id"), col("turn_idx"), col("v_first"), col("v_last"),
+        col("best.persoon_id").as("persoon_id"),
+        col("best.fractie_id").as("fractie_id"),
+        col("best.score").as("score"),
+        when(col("best.source_rank") === 0, "actor").otherwise("global").as("source"))
+      .withColumn("match_type",
+        when(col("score") >= ExactThreshold, MatchType.Exact).otherwise(MatchType.Fuzzy))
+  }
+
+  /** J7/U1: zaak matches from the agendapunten of accepted activity matches,
+    * unioned with the text(XML)-derived matches — reference
+    * vlos_pipeline.py:103-124 (`zaak_matches = xml_zaak_matches +
+    * agendapunt_zaak_matches`), where each agendapunt-connected zaak becomes
+    * an EXACT/100 match directly (`_create_zaak_match_from_agendapunt`,
+    * :355-401).
+    *
+    * `acceptedMatches`: ActivityMatch output filtered to accepted rows
+    *   (conv_id, cand_idx).
+    * `agendapuntZaken`: broadcast dim (cand activity → its agendapunt's
+    *   zaak ref) keyed (conv_id, cand_idx) in this synthetic domain.
+    */
+  def linkZakenUnion(textLinked: DataFrame, acceptedMatches: DataFrame,
+      agendapuntZaken: DataFrame, zaken: DataFrame): DataFrame = {
+    val outCols = Seq("conv_id", "turn_idx", "dossier_nr", "stuk_nr",
+      "entity_id", "score", "match_type", "source").map(col)
+    val z = broadcast(zaken.select(
+      col("zaak_id"), col("dossier_nr").as("z_dnr"), col("stuk_nr").as("z_snr")))
+    val ap = acceptedMatches
+      .select("conv_id", "cand_idx")
+      .join(agendapuntZaken, Seq("conv_id", "cand_idx"))
+      .join(z, col("dossier_nr") === col("z_dnr") && col("stuk_nr") === col("z_snr"))
+      .select(
+        col("conv_id"), lit(null).cast("int").as("turn_idx"),
+        col("dossier_nr"), col("stuk_nr"),
+        col("zaak_id").as("entity_id"),
+        lit(100).as("score"),
+        lit(MatchType.Exact).as("match_type"),
+        lit("agendapunt").as("source"))
+    textLinked
+      .withColumn("source", lit("xml"))
+      .select(outCols: _*)
+      .unionByName(ap.select(outCols: _*))
+  }
+
   /** Zaak linking with the 3-tier fallback cascade — reference
     * api_extractor.py:207-268 + scoring vlos_pipeline.py:280-308:
     *   tier 1 (zaak on dossier+stuk)     → EXACT,    score 100

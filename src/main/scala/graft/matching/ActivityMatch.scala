@@ -33,6 +33,17 @@ object ActivityMatch {
   val SoortExactX2 = 4
   val SoortXmlInApiX2 = 4
   val SoortApiInXmlX2 = 3
+  val SoortAliasX2 = 4 // alias hit scores like xml-in-api (matcher :192-203)
+
+  /** Soort alias table — reference activity_matcher.py:193-197: when the xml
+    * soort equals the main key and the api soort CONTAINS one of the
+    * aliases, score `score_soort_partial_xml_in_api`. The same literals
+    * drive the Spark expression and the oracle SQL (MatchSql).
+    */
+  val SoortAliases: Seq[(String, Seq[String])] = Seq(
+    "opening" -> Seq("aanvang", "regeling van werkzaamheden", "reglementair"),
+    "sluiting" -> Seq("einde vergadering", "stemmingen", "stemmen"),
+    "mededelingen" -> Seq("procedurevergadering", "procedures en brieven", "uitstel brieven"))
   val TopicExactX2 = 8
   val TopicHighX2 = 5
   val TopicMidX2 = 4
@@ -53,10 +64,14 @@ object ActivityMatch {
           least(xEndUs, aEndUs + OverlapBufferUs), TimeOverlapX2)
         .otherwise(0)
     val xs = lower(xSoort); val as_ = lower(aSoort)
+    val aliasHit = SoortAliases.map { case (main, aliases) =>
+      xs === main && aliases.map(a => instr(as_, a) > 0).reduce(_ || _)
+    }.reduce(_ || _)
     val soort =
       when(xs === as_, SoortExactX2)
         .when(instr(as_, xs) > 0, SoortXmlInApiX2)
         .when(instr(xs, as_) > 0, SoortApiInXmlX2)
+        .when(aliasHit, SoortAliasX2)
         .otherwise(0)
     val nx = TextFunctions.normalizeTopic(xTopic)
     val na = TextFunctions.normalizeTopic(aTopic)

@@ -96,6 +96,11 @@ object Pred {
   val ContainsSpeaker = "CONTAINS_SPEAKER"
   val ContainsZaak = "CONTAINS_ZAAK"
   val MemberOf = "MEMBER_OF"
+
+  /** The full vocabulary (seed-enum dimension rows, seed_enums.py parity). */
+  val All: Seq[String] = Seq(MatchesPersoon, SpokeIn, DiscussesZaak,
+    DiscussesDossier, InterruptedIn, WasInterruptedIn, RespondedIn,
+    HasFractieVote, CastByFractie, ContainsSpeaker, ContainsZaak, MemberOf)
 }
 
 /** Interruption classification — reference src/vlos/analyzers/interruption_analyzer.py:203-236. */

@@ -65,13 +65,18 @@ object DataOpsSql {
     "bands AS (\n  " + branches.mkString("\n  UNION ALL ") + ")"
   }
 
-  def minhashPairsCte(minPermille: Int): String = {
+  def minhashPairsCte(minPermille: Int, maxBandFreq: Int = 256): String = {
     val agree = (0 until MinHashK)
       .map(i => s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""cand AS (
+    s"""bands_ok AS (
+       |  SELECT b.* FROM bands b
+       |  JOIN (SELECT band, band_hash FROM bands
+       |        GROUP BY 1, 2 HAVING COUNT(*) <= $maxBandFreq) f
+       |    USING (band, band_hash)),
+       |cand AS (
        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |  FROM bands l JOIN bands r
+       |  FROM bands_ok l JOIN bands_ok r
        |    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
        |  GROUP BY 1, 2),
        |minhash_pairs AS (
@@ -119,11 +124,16 @@ object DataOpsSql {
        |                       ELSE 0 END) AS BIGINT) AS simhash
        |  FROM sim_bits GROUP BY doc_id)""".stripMargin
 
-  def simhashPairsCte(maxHamming: Int): String = {
+  def simhashPairsCte(maxHamming: Int, maxBandFreq: Int = 256): String = {
     val branches = (0 until 4).map(b =>
       s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 8}) & 255 AS band_bits FROM simhash")
-    s"""sim_banded AS (
+    s"""sim_banded_all AS (
        |  ${branches.mkString("\n  UNION ALL ")}),
+       |sim_banded AS (
+       |  SELECT s.* FROM sim_banded_all s
+       |  JOIN (SELECT band, band_bits FROM sim_banded_all
+       |        GROUP BY 1, 2 HAVING COUNT(*) <= $maxBandFreq) f
+       |    USING (band, band_bits)),
        |simhash_pairs AS (
        |  SELECT doc_a, doc_b, hamming FROM (
        |    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
@@ -152,25 +162,76 @@ object DataOpsSql {
        |    FROM ann_pairs)
        |  WHERE rank <= $k)""".stripMargin
 
-  def lshBucketExpr(nBits: Int, arr: String): String =
-    (1 to nBits).map(i => s"CASE WHEN $arr[$i] >= 0 THEN '1' ELSE '0' END")
-      .mkString("concat(", ", ", ")")
+  /** One table's bucket expression: concat of sign bits of hyperplane dots,
+    * with the hyperplane ±1 literals from graft.dataops.Similarity (same
+    * xorshift stream as the Spark plan).
+    */
+  private def tableBucketSql(planes: Seq[Array[Double]], arr: String): String =
+    planes.map { p =>
+      val lits = p.map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]")
+      s"CASE WHEN list_dot_product($arr, $lits) >= 0 THEN '1' ELSE '0' END"
+    }.mkString("concat(", ", ", ")")
 
-  def annLshTopKCte(k: Int, nBits: Int): String =
+  /** Multi-table sign-LSH buckets + deduped candidate pairs (mirrors
+    * Similarity.lshTopK: same bucket in ANY table ⇒ candidate).
+    */
+  private def lshCandCtes(nBits: Int, nTables: Int, dim: Int): String = {
+    val hp = graft.dataops.Similarity.hyperplanes(dim, nBits, nTables)
+    val branches = (0 until nTables).map(t =>
+      s"SELECT vec_id, e, $t AS tbl, ${tableBucketSql(hp(t), "e")} AS bucket FROM emb")
     s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |embb AS (SELECT vec_id, e, ${lshBucketExpr(nBits, "e")} AS bucket FROM emb),
-       |ann_pairs AS (
-       |  SELECT l.vec_id, r.vec_id AS neighbor_id,
-       |         CAST(FLOOR(list_dot_product(l.e, r.e) /
-       |              (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e)))
-       |              * 1000000) AS BIGINT) AS cos_1e6
-       |  FROM embb l JOIN embb r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
-       |ann_topk AS (
+       |lsh_b AS (
+       |  ${branches.mkString("\n  UNION ALL ")}),
+       |lsh_cand AS (
+       |  SELECT DISTINCT l.vec_id, r.vec_id AS neighbor_id
+       |  FROM lsh_b l JOIN lsh_b r
+       |    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id <> r.vec_id)""".stripMargin
+  }
+
+  private val cosPairSql: String =
+    """CAST(FLOOR(list_dot_product(a.e, b.e) /
+      |              (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+      |              * 1000000) AS BIGINT)""".stripMargin
+
+  private def topKSql(name: String, pairs: String, k: Int): String =
+    s"""$name AS (
        |  SELECT vec_id, neighbor_id, cos_1e6, CAST(rank AS INT) AS rank FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
        |                                 ORDER BY cos_1e6 DESC, neighbor_id) AS rank
-       |    FROM ann_pairs)
+       |    FROM $pairs)
        |  WHERE rank <= $k)""".stripMargin
+
+  def annLshTopKCte(k: Int, nBits: Int, nTables: Int, dim: Int): String =
+    s"""${lshCandCtes(nBits, nTables, dim)},
+       |ann_pairs AS (
+       |  SELECT c.vec_id, c.neighbor_id, $cosPairSql AS cos_1e6
+       |  FROM lsh_cand c
+       |  JOIN emb a ON c.vec_id = a.vec_id
+       |  JOIN emb b ON c.neighbor_id = b.vec_id),
+       |${topKSql("ann_topk", "ann_pairs", k)}""".stripMargin
+
+  /** Recall@k of the LSH top-k vs the exact top-k, as one row. */
+  def annLshRecallCte(k: Int, nBits: Int, nTables: Int, dim: Int): String =
+    s"""${lshCandCtes(nBits, nTables, dim)},
+       |lsh_pairs AS (
+       |  SELECT c.vec_id, c.neighbor_id, $cosPairSql AS cos_1e6
+       |  FROM lsh_cand c
+       |  JOIN emb a ON c.vec_id = a.vec_id
+       |  JOIN emb b ON c.neighbor_id = b.vec_id),
+       |${topKSql("lsh_topk", "lsh_pairs", k)},
+       |ex_pairs AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id, $cosPairSql AS cos_1e6
+       |  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+       |${topKSql("ex_topk", "ex_pairs", k)},
+       |lsh_recall AS (
+       |  SELECT CAST(COUNT(DISTINCT e.vec_id) AS BIGINT) AS n_queries,
+       |         CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |         CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |         CAST(FLOOR(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000
+       |                    / COUNT(*)) AS INT) AS recall_permille
+       |  FROM ex_topk e
+       |  LEFT JOIN lsh_topk l
+       |    ON e.vec_id = l.vec_id AND e.neighbor_id = l.neighbor_id)""".stripMargin
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")

@@ -19,6 +19,16 @@ object MatchSql {
     s"trim(regexp_replace(regexp_replace(lower(trim($expr)), " +
       s"'^($prefixAlternation)\\s*', ''), '\\s+', ' ', 'g'))"
 
+  /** F12 alias branch, generated from the same literal table as the Spark
+    * expression (ActivityMatch.SoortAliases).
+    */
+  private val aliasCond: String =
+    graft.matching.ActivityMatch.SoortAliases.map { case (main, aliases) =>
+      val hits = aliases
+        .map(a => s"strpos(lower(a.a_soort), '$a') > 0").mkString("(", " OR ", ")")
+      s"(lower(x.x_soort) = '$main' AND $hits)"
+    }.mkString("(", " OR ", ")")
+
   val activityMatchCtes: String =
     s"""conv_bounds AS (
        |  SELECT conv_id, CAST(substr(conv_id, 2) AS INT) AS u,
@@ -26,14 +36,14 @@ object MatchSql {
        |  FROM transcripts GROUP BY 1, 2),
        |xml_acts AS (
        |  SELECT conv_id, 0 AS xml_id, beg_us AS x_beg_us, end_us AS x_end_us,
-       |         'debat' AS x_soort,
+       |         CASE WHEN u % 7 = 0 THEN 'sluiting' ELSE 'debat' END AS x_soort,
        |         'Debat over dossier ' || CAST(36000 + u % 50 AS VARCHAR) AS x_topic
        |  FROM conv_bounds),
        |acands AS (
        |  SELECT conv_id, CAST(c.cand_idx AS INT) AS cand_idx,
        |         beg_us + offs AS a_beg_us, end_us + offs AS a_end_us,
        |         CASE c.cand_idx WHEN 0 THEN 'plenair debat' WHEN 1 THEN 'debat'
-       |              ELSE 'vergadering overig' END AS a_soort,
+       |              ELSE 'stemmingen overig' END AS a_soort,
        |         CASE c.cand_idx
        |              WHEN 0 THEN 'Dossier ' || CAST(36000 + u % 50 AS VARCHAR)
        |              WHEN 1 THEN 'Begrotingsbehandeling hoofdstuk ' || CAST(u % 12 AS VARCHAR)
@@ -51,6 +61,7 @@ object MatchSql {
        |     + CASE WHEN lower(x.x_soort) = lower(a.a_soort) THEN 4
        |            WHEN strpos(lower(a.a_soort), lower(x.x_soort)) > 0 THEN 4
        |            WHEN strpos(lower(x.x_soort), lower(a.a_soort)) > 0 THEN 3
+       |            WHEN $aliasCond THEN 4
        |            ELSE 0 END
        |     + CASE WHEN ${norm("x.x_topic")} = ${norm("a.a_topic")} THEN 8
        |            ELSE 0 END) AS score_x2

@@ -219,4 +219,113 @@ object OracleSql {
   def tripleChain: Seq[String] =
     Seq(speakerMentionsCte, linkPersonsCte, caseMentionsCte) ++
       zakenCtes ++ Seq(linkZakenCte, voteMentionsCte, interruptionsCte, triplesCte)
+
+  /** S2: the expanded/nested attachments collection, flattened with
+    * explode_outer semantics (mirrors Expand.withAttachments +
+    * flattenAttachments; the LEFT JOIN against `r.i < h % 3` keeps
+    * attachment-less turns as one all-null child row).
+    */
+  val attachmentsCte: String = {
+    val P = graft.dataops.ContentHash.P
+    val maxAtt = graft.extract.Expand.MaxAttachments
+    val kinds = graft.extract.Expand.Kinds
+    val kindCase = s"CASE CAST((t.h + r.i) % ${kinds.size} AS INT) " +
+      kinds.init.zipWithIndex.map { case (k, i) => s"WHEN $i THEN '$k'" }.mkString(" ") +
+      s" ELSE '${kinds.last}' END"
+    s"""att_exp AS (
+       |  SELECT t.conv_id, t.turn_idx, t.role, t.tool,
+       |         CASE WHEN r.i IS NOT NULL
+       |              THEN md5(concat_ws('|', t.conv_id, CAST(t.turn_idx AS VARCHAR),
+       |                                 CAST(r.i AS VARCHAR))) END AS att_id,
+       |         CASE WHEN r.i IS NOT NULL THEN $kindCase END AS kind,
+       |         CASE WHEN r.i IS NOT NULL
+       |              THEN CAST((t.h + r.i * 37) % 100000 AS INT) END AS size_bytes
+       |  FROM (SELECT conv_id, turn_idx, role, tool,
+       |               (('0x' || substr(md5(text), 1, 8))::BIGINT % $P) AS h
+       |        FROM transcripts) t
+       |  LEFT JOIN (SELECT range AS i FROM range($maxAtt)) r ON r.i < t.h % $maxAtt)""".stripMargin
+  }
+
+  /** REL_MAP-driven edges over the expanded turn (mirrors RelMap.TurnRels). */
+  val relmapEdgesCte: String =
+    s"""relmap_edges AS (
+       |  SELECT 'turn:' || conv_id || ':' || CAST(turn_idx AS VARCHAR) AS subj,
+       |         'HAS_ATTACHMENT' AS pred, 'attachment:' || att_id AS obj
+       |  FROM att_exp WHERE att_id IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'turn:' || conv_id || ':' || CAST(turn_idx AS VARCHAR),
+       |         'USED_TOOL', 'tool:' || tool
+       |  FROM transcripts WHERE tool IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'turn:' || conv_id || ':' || CAST(turn_idx AS VARCHAR),
+       |         'IN_CONV', 'conv:' || conv_id
+       |  FROM transcripts)""".stripMargin
+
+  /** J2: per-conversation activity-actor sets (mirrors the SparkEntry
+    * synthesis: even-u conversations carry the P24 Jansen clone).
+    */
+  val actorsCte: String =
+    """actors AS (
+      |  SELECT DISTINCT conv_id,
+      |         CASE WHEN CAST(substr(conv_id, 2) AS INT) % 2 = 0
+      |              THEN 'P24' ELSE 'P01' END AS persoon_id
+      |  FROM transcripts)""".stripMargin
+
+  /** J2: actor-priority person linking over the extended dictionary
+    * (mirrors Link.linkPersonsPriority; exact arithmetic is valid because
+    * the extended dictionary still has no NEAR-duplicate surnames — the
+    * only shared surname is the exact clone).
+    */
+  val linkPriorityCte: String =
+    s"""prio_cand AS (
+       |  SELECT s.conv_id, s.turn_idx, s.v_first, s.v_last, p.persoon_id, p.fractie_id,
+       |         60 + CASE WHEN s.v_first <> '' AND lower(s.v_first) = lower(p.roepnaam)
+       |                   THEN 40 ELSE 0 END AS score,
+       |         0 AS source_rank
+       |  FROM speaker_mentions s
+       |  JOIN actors a ON a.conv_id = s.conv_id
+       |  JOIN persons_ext p ON p.persoon_id = a.persoon_id
+       |   AND lower(s.v_last) IN (lower(p.achternaam),
+       |         lower(concat_ws(' ', nullif(p.tussenvoegsel, ''), p.achternaam)))
+       |  UNION ALL
+       |  SELECT s.conv_id, s.turn_idx, s.v_first, s.v_last, p.persoon_id, p.fractie_id,
+       |         60 + CASE WHEN s.v_first <> '' AND lower(s.v_first) = lower(p.roepnaam)
+       |                   THEN 40 ELSE 0 END AS score,
+       |         1 AS source_rank
+       |  FROM speaker_mentions s
+       |  JOIN persons_ext p
+       |    ON lower(s.v_last) IN (lower(p.achternaam),
+       |         lower(concat_ws(' ', nullif(p.tussenvoegsel, ''), p.achternaam)))),
+       |linked_priority AS (
+       |  SELECT conv_id, turn_idx, v_first, v_last, persoon_id, fractie_id, score,
+       |         CASE WHEN source_rank = 0 THEN 'actor' ELSE 'global' END AS source,
+       |         CASE WHEN score >= 90 THEN 'EXACT' ELSE 'FUZZY' END AS match_type
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx, v_first, v_last
+       |                                     ORDER BY source_rank, score DESC, persoon_id) AS rn
+       |        FROM prio_cand WHERE score >= 60)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** J7: agendapunt→zaak refs of the candidate activities (mirrors the
+    * SparkEntry synthesis), and the XML ∪ agendapunt union (U1).
+    */
+  val apZakenCte: String =
+    """ap_zaken AS (
+      |  SELECT conv_id, CAST(c.cand_idx AS INT) AS cand_idx,
+      |         CAST(36000 + (u + c.cand_idx + 3) % 50 AS INT) AS dossier_nr,
+      |         CAST(1 + (u + c.cand_idx) % 7 AS INT) AS stuk_nr
+      |  FROM conv_bounds, (SELECT range AS cand_idx FROM range(3)) c)""".stripMargin
+
+  val linkZakenUnionCte: String =
+    """linked_zaken_union AS (
+      |  SELECT conv_id, turn_idx, dossier_nr, stuk_nr, entity_id, score, match_type,
+      |         'xml' AS source
+      |  FROM linked_zaken
+      |  UNION ALL
+      |  SELECT m.conv_id, CAST(NULL AS INT) AS turn_idx, a.dossier_nr, a.stuk_nr,
+      |         z.zaak_id AS entity_id, 100 AS score, 'EXACT' AS match_type,
+      |         'agendapunt' AS source
+      |  FROM activity_match m
+      |  JOIN ap_zaken a USING (conv_id, cand_idx)
+      |  JOIN zaken z ON a.dossier_nr = z.dossier_nr AND a.stuk_nr = z.stuk_nr
+      |  WHERE m.accepted)""".stripMargin
 }

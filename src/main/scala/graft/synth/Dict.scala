@@ -89,6 +89,24 @@ object Dict {
     }.toDF("idx", "persoon_id", "roepnaam", "tussenvoegsel", "achternaam", "voornamen", "fractie_id")
   }
 
+  /** Extra persons sharing a surname with the base dictionary — the
+    * ambiguity the J2 actor-priority tier needs to be observable (reference
+    * api_extractor.py:134-155: with a surname-unique dictionary the actor
+    * tier can never change the outcome). P24 clones P00's names, so the
+    * global argmax resolves "Jansen" to P00 (persoon_id tie-break) while a
+    * conversation whose activity actors include P24 resolves to P24.
+    */
+  val extraPersons: Seq[(Int, Person)] =
+    Seq((24, Person("P24", "Anna", "", "Jansen", "Anna Maria", "F06")))
+
+  /** Base ∪ extra persons: the dictionary of the priority-linking queries. */
+  def personsExtDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (persons ++ extraPersons).map { case (i, p) =>
+      (i, p.persoon_id, p.roepnaam, p.tussenvoegsel, p.achternaam, p.voornamen, p.fractie_id)
+    }.toDF("idx", "persoon_id", "roepnaam", "tussenvoegsel", "achternaam", "voornamen", "fractie_id")
+  }
+
   def fractiesDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     fracties.map { case (i, f) => (i, f.fractie_id, f.naam, f.afkorting, f.zetels_aantal) }
@@ -134,6 +152,13 @@ object Dict {
       s"($i, ${q(p.persoon_id)}, ${q(p.roepnaam)}, ${q(p.tussenvoegsel)}, ${q(p.achternaam)}, ${q(p.fractie_id)})"
     }.mkString(
       "persons(idx, persoon_id, roepnaam, tussenvoegsel, achternaam, fractie_id) AS (VALUES ",
+      ", ", ")")
+
+  val personsExtSql: String =
+    (persons ++ extraPersons).map { case (i, p) =>
+      s"($i, ${q(p.persoon_id)}, ${q(p.roepnaam)}, ${q(p.tussenvoegsel)}, ${q(p.achternaam)}, ${q(p.fractie_id)})"
+    }.mkString(
+      "persons_ext(idx, persoon_id, roepnaam, tussenvoegsel, achternaam, fractie_id) AS (VALUES ",
       ", ", ")")
 
   val fractiesSql: String =

@@ -71,14 +71,17 @@ class DataOpsSpec extends SparkSpec {
     assert(topk.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 4L))
   }
 
-  test("sign-LSH restricts candidates to the same bucket") {
+  test("sign-LSH restricts candidates to same-bucket vectors (any table)") {
+    // v1's hyperplane dots are sums of distinct magnitudes (never 0), v2 is
+    // an epsilon-perturbation (same sign pattern in every table), v3 is
+    // antipodal (complementary sign pattern in every table)
     val e = embDf(
-      (1L, Seq(1f, 1f, 1f, 1f)),
-      (2L, Seq(1f, 1f, 1f, 0.5f)),   // same bucket as 1
-      (3L, Seq(-1f, 1f, 1f, 1f)))    // different bucket
-    val topk = Similarity.lshTopK(e, 5, 4).collect()
+      (1L, Seq(1f, 0.3f, 0.2f, 0.1f)),
+      (2L, Seq(1f, 0.31f, 0.2f, 0.1f)),
+      (3L, Seq(-1f, -0.3f, -0.2f, -0.1f)))
+    val topk = Similarity.lshTopK(e, 5, nBits = 4, nTables = 2, dim = 4).collect()
     val neighborsOf1 = topk.filter(_.getLong(0) == 1L).map(_.getAs[Long]("neighbor_id")).toSet
-    assert(neighborsOf1 == Set(2L)) // 3 is excluded by the bucket
+    assert(neighborsOf1 == Set(2L)) // 3 is excluded by every table's bucket
   }
 
   test("language id separates nl and en by stopword hits") {
