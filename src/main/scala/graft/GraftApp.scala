@@ -56,9 +56,15 @@ object GraftApp {
           Checkpoint.processedBuckets(spark, lineage, "pipeline"), "conv_id")
       else allTurns
 
-    val stages = Pipeline.build(spark, turns)
-    val (observedLinked, linkObs) = Metrics.observeLink(stages.linkedPersons)
-    observedLinked.count() // one action drives the observation (cache-backed)
+    // the observation is attached INSIDE the pipeline build, so the link
+    // counters ride the canonical count's own materialization of the
+    // checkpointed link output — no separate counting pass (ADVICE r1)
+    var linkObs: org.apache.spark.sql.Observation = null
+    val stages = Pipeline.build(spark, turns, linked => {
+      val (df, obs) = Metrics.observeLink(linked)
+      linkObs = obs
+      df
+    })
     val canonical = stages.canonical.persist()
     val nTriples = canonical.count()
 

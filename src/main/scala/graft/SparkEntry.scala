@@ -447,7 +447,12 @@ object SparkEntry {
       enumRows.toDF("label", "key").orderBy("label", "key")
     }),
 
-    // A9: topics present in conversations with interruptions, by count
+    // A9: topics present in conversations with interruptions, by count.
+    // The conv_id equi-join is fact×fact (neither side broadcastable at
+    // 10^12 turns) with hot-conversation skew — it runs SALTED: the event
+    // side gets a deterministic per-row salt, the topic side is exploded
+    // salt-ways, so one hot conv_id spreads over n reducers (north-rule
+    // skew mitigation, exercised by SaltingSpec's hot-corpus case).
     "kg_interruption_topics" -> ((s, dir) => {
       val events = Interruptions.detect(linkedSpeakers(s, dir))
         .select("conv_id", "turn_idx")
@@ -455,7 +460,8 @@ object SparkEntry {
           Dict.zakenDf(s), Dict.dossiersDf(s), Dict.documentsDf(s))
         .where(col("entity_id").isNotNull)
         .select(col("conv_id"), col("dossier_nr").as("topic")).distinct()
-      events.join(topics, "conv_id")
+      graft.link.Salting.saltedJoin(events, topics, "conv_id", 8,
+          Seq("conv_id", "turn_idx"))
         .groupBy("topic").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("topic"))
     })

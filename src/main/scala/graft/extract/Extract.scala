@@ -21,7 +21,12 @@ object Extract {
   val ProceduralMarkers: Seq[String] =
     Seq("opening", "sluiting", "aanvang", "einde vergadering", "geschorst")
 
-  private val proceduralRegex = "(" + ProceduralMarkers.mkString("|") + ")"
+  // word-boundary anchored: a marker must appear as a word, not as a
+  // substring of a longer token (reference checks the activity soort/titel
+  // against a curated list, xml_extractor.py:69-83 — a speech merely
+  // containing "verkoopopening" must not be dropped). \b is RE2-safe, so
+  // the same pattern runs in the DuckDB oracle.
+  private val proceduralRegex = "\\b(" + ProceduralMarkers.mkString("|") + ")\\b"
 
   def isProcedural(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     lower(textCol).rlike(proceduralRegex)

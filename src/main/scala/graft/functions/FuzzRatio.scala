@@ -50,27 +50,31 @@ object FuzzRatio {
   def ratio(a: UTF8String, b: UTF8String): Int = ratio(a.toString, b.toString)
 
   def ratio(a: String, b: String): Int = {
-    val m = a.length
-    val n = b.length
+    // genuine code points (rapidfuzz iterates characters, not UTF-16 units):
+    // surrogate pairs (emoji, rare CJK) count once and compare as one unit
+    val ca = a.codePoints().toArray
+    val cb = b.codePoints().toArray
+    val m = ca.length
+    val n = cb.length
     if (m + n == 0) return 100 // rapidfuzz: ratio("", "") == 100
     if (m == 0 || n == 0) return 0
-    val lcs = lcsLength(a, b)
+    val lcs = lcsLength(ca, cb)
     // Python round() is banker's rounding; rint matches.
     math.rint(200.0 * lcs / (m + n)).toInt
   }
 
   /** Classic LCS with a single rolling row: O(m*n) time, O(n) space. */
-  private def lcsLength(a: String, b: String): Int = {
+  private def lcsLength(a: Array[Int], b: Array[Int]): Int = {
     val n = b.length
     val prev = new Array[Int](n + 1)
     val cur = new Array[Int](n + 1)
     var i = 0
     while (i < a.length) {
-      val ca = a.charAt(i)
+      val ca = a(i)
       var j = 0
       while (j < n) {
         cur(j + 1) =
-          if (ca == b.charAt(j)) prev(j) + 1
+          if (ca == b(j)) prev(j) + 1
           else math.max(prev(j + 1), cur(j))
         j += 1
       }

@@ -72,6 +72,19 @@ object Materialize {
     * in `updates` are rewritten; within a rewritten bucket, update rows win
     * over existing rows on key collision (MERGE semantics). Running the same
     * batch twice yields a byte-identical table.
+    *
+    * Scale mechanics (ADVICE/VERDICT r1):
+    *  - The affected buckets are collected to LITERALS (≤ NBuckets values —
+    *    dimension-bounded by construction) and pushed as an `isin` partition
+    *    filter, so the existing-table read PRUNES untouched buckets at
+    *    planning time instead of row-filtering them (the explain shows
+    *    `PartitionFilters: [bucket IN (…)]` — asserted in
+    *    MaterializeCheckpointSpec).
+    *  - The merged result is staged as a written table before the dynamic
+    *    overwrite — a durable break of the read-overwrite dependency that
+    *    also survives executor loss, unlike a `localCheckpoint` whose blocks
+    *    live in executor storage. On Iceberg both mechanics collapse into
+    *    `MERGE INTO` (documented seam, object Scaladoc).
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], bucketCol: String): Unit = {
@@ -81,26 +94,38 @@ object Materialize {
     if (!exists(spark, path)) {
       withBucket.write.partitionBy("bucket").mode(SaveMode.ErrorIfExists).parquet(path)
     } else {
-      val existing = spark.read.parquet(path)
       val affected = withBucket.select("bucket").distinct()
+        .collect().map(_.getInt(0)).sorted
+      val existing = prunedRead(spark, path, affected)
       // update-wins: rank updates (0) ahead of existing (1) per key
       val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_rank"))
       val merged = existing
-        .join(broadcast(affected), Seq("bucket"), "left_semi")
         .withColumn("_rank", lit(1))
         .unionByName(withBucket.withColumn("_rank", lit(0)))
         .withColumn("_rn", row_number().over(w))
         .where(col("_rn") === 1)
         .drop("_rank", "_rn")
-        // cut the read-dependency on the files we are about to overwrite
-        .localCheckpoint()
-      merged.write
+      // stage, then overwrite: the overwrite job reads only the staging
+      // table, never the files it replaces
+      val staging = s"$path.staging-${System.nanoTime()}"
+      merged.write.partitionBy("bucket").parquet(staging)
+      spark.read.parquet(staging).write
         .partitionBy("bucket")
         .option("partitionOverwriteMode", "dynamic")
         .mode(SaveMode.Overwrite)
         .parquet(path)
+      val p = new Path(staging)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
+
+  /** Existing-table read restricted to the affected buckets via a LITERAL
+    * `isin` — guaranteed partition pruning on the bucket-partitioned layout.
+    */
+  def prunedRead(spark: SparkSession, path: String,
+      buckets: Seq[Int]): DataFrame =
+    spark.read.parquet(path)
+      .where(col("bucket").isin(buckets.map(b => b: Any): _*))
 
   /** Materialize a triple set into `warehouse/{nodes,edges}` with endpoint
     * integrity enforced against the post-upsert node set.

@@ -22,7 +22,7 @@ object OracleSql {
   }
 
   val proceduralFilter: String =
-    "NOT regexp_matches(lower(text), '(opening|sluiting|aanvang|einde vergadering|geschorst)')"
+    "NOT regexp_matches(lower(text), '\\b(opening|sluiting|aanvang|einde vergadering|geschorst)\\b')"
 
   /** Speaker mentions (mirrors Extract.speakerMentions). */
   val speakerMentionsCte: String =

@@ -27,14 +27,20 @@ object Pipeline {
       triples: DataFrame,
       canonical: DataFrame)
 
-  def build(spark: SparkSession, turns: DataFrame): Stages = {
+  /** `observeLink` lets callers attach `observe()` metrics to the link
+    * output BEFORE it is checkpointed/consumed, so the counters ride the
+    * pipeline's own first action with zero extra passes (GraftApp uses
+    * this; default = no instrumentation).
+    */
+  def build(spark: SparkSession, turns: DataFrame,
+      observeLink: DataFrame => DataFrame = identity): Stages = {
     // lazy localCheckpoint rather than cache(): same recompute-avoidance for
     // the three consumers, PLUS it truncates the logical plan — downstream
     // trees (triples union × 11 branches, rewrite joins) otherwise each
     // carry the full extract+link subtree into Catalyst analysis/
     // optimization on every action, which is serial driver time
     val linkedPersons =
-      Link.linkPersons(Extract.speakerMentions(turns), Dict.personsDf(spark))
+      observeLink(Link.linkPersons(Extract.speakerMentions(turns), Dict.personsDf(spark)))
         .localCheckpoint(false)
     val linkedZaken = Link.linkZaken(Extract.caseMentions(turns),
       Dict.zakenDf(spark), Dict.dossiersDf(spark), Dict.documentsDf(spark))

@@ -22,6 +22,15 @@ class FuzzRatioSpec extends AnyFunSuite {
     assert(FuzzRatio.ratio("tmi", "tim") == 67) // LCS=2
   }
 
+  test("non-BMP characters count as ONE code point (rapidfuzz parity)") {
+    // "ab👍" is 4 UTF-16 units but 3 code points; rapidfuzz counts 3:
+    // ratio("ab👍","ab") = round(200*2/(3+2)) = 80 (UTF-16 units would give 67)
+    assert(FuzzRatio.ratio("ab👍", "ab") == 80)
+    assert(FuzzRatio.ratio("👍", "👍") == 100)
+    // differing surrogate pairs share no code point
+    assert(FuzzRatio.ratio("👍", "😀") == 0)
+  }
+
   test("banker's rounding at .5 (Python round parity)") {
     // 200*1/16 = 12.5 -> rounds to even 12
     assert(FuzzRatio.ratio("a", "abcdefghijklmno") == 12)

@@ -66,6 +66,21 @@ class MaterializeCheckpointSpec extends SparkSpec {
     assert(got == Map("k1" -> "new", "k2" -> "old"))
   }
 
+  test("upsert read path PRUNES untouched buckets (PartitionFilters, not a row filter)") {
+    val path = tmp("wh-prune")
+    val v1 = (0 until 200).map(i => (s"k$i", "v")).toDF("key", "props")
+    Materialize.upsert(spark, path, v1, Seq("key"), "key")
+    val pruned = Materialize.prunedRead(spark, path, Seq(1, 5))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"no partition filter in plan:\n$plan")
+    // the physical filter must be a partition filter with literal values,
+    // reading only the requested buckets' rows
+    val expect = spark.read.parquet(path)
+      .where(col("bucket") === 1 || col("bucket") === 5).count()
+    assert(pruned.count() == expect)
+  }
+
   test("endpoint integrity drops edges with a missing endpoint (merge_rel parity)") {
     val nodes = Seq(("persoon", "persoon:P1"), ("conv", "conv:c1")).toDF("label", "key")
     val edges = Materialize.edges(triples(

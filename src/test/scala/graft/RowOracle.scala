@@ -15,7 +15,7 @@ object RowOracle {
   final case class T(conv: String, idx: Int, text: String)
 
   private val procedural =
-    "(opening|sluiting|aanvang|einde vergadering|geschorst)".r
+    "\\b(opening|sluiting|aanvang|einde vergadering|geschorst)\\b".r
   private val woordAan = "het woord aan (.+)$".r.unanchored
   private val spreekt = "^Mevrouw (.+) spreekt over".r.unanchored
   private val inter = "^De heer (.+) interrumpeert".r.unanchored
