@@ -20,6 +20,9 @@ import graft.synth.TranscriptGen
   *     --warehouse <dir>     output graph warehouse (default ./graft-warehouse)
   *     --lineage <dir>       lineage table path (default <warehouse>/lineage)
   *     --run-id <id>         run identifier (default epoch millis at launch)
+  *     --staging <dir>       stage the link intermediate as a written
+  *                           parquet table instead of localCheckpoint
+  *                           (the 10^12-row configuration)
   *     --resume              skip conversation buckets already in lineage
   *     --overwrite           ignore lineage (the reference's --overwrite)
   *     --master <m>          Spark master when not under spark-submit
@@ -56,24 +59,28 @@ object GraftApp {
           Checkpoint.processedBuckets(spark, lineage, "pipeline"), "conv_id")
       else allTurns
 
-    // the observation is attached INSIDE the pipeline build, so the link
-    // counters ride the canonical count's own materialization of the
-    // checkpointed link output — no separate counting pass (ADVICE r1)
-    var linkObs: org.apache.spark.sql.Observation = null
-    val stages = Pipeline.build(spark, turns, linked => {
-      val (df, obs) = Metrics.observeLink(linked)
-      linkObs = obs
-      df
-    })
-    val canonical = stages.canonical.persist()
+    val stages = Pipeline.build(spark, turns,
+      linkStagingDir = opts.get("staging").filter(_.nonEmpty))
+    // lazy localCheckpoint: one materialization at count(), flat plans for
+    // every materialize action (no Catalyst re-run over the canonical tree)
+    val canonical = stages.canonical.localCheckpoint(false)
     val nTriples = canonical.count()
 
     Materialize.writeGraph(spark, warehouse, canonical)
     Checkpoint.recordProcessed(spark, lineage, runId, "pipeline", turns, "conv_id")
 
-    val link = linkObs.get
-    val nLinked = link("n_linked").asInstanceOf[Long]
-    val nExact = link("n_exact").asInstanceOf[Long]
+    // link counters: one tiny aggregate over the CHECKPOINTED link output —
+    // reads cached blocks, no recompute of extract+link. (An observe() on
+    // the link frame would fire on the pipeline's first action, which since
+    // round 2 is the surface-edge limit+collect — a deliberately partial
+    // pass — so its counts would be wrong; Metrics.observeLink remains for
+    // flows whose first action is a full pass.)
+    val linkRow = stages.linkedPersons.agg(
+      count(lit(1)).as("n_linked"),
+      sum(when(col("match_type") === graft.model.MatchType.Exact, 1L)
+        .otherwise(0L)).as("n_exact")).head()
+    val nLinked = linkRow.getLong(0)
+    val nExact = linkRow.getLong(1)
     println(s"[graft] run=$runId linked=$nLinked " +
       s"exact_permille=${Metrics.matchRatePermille(nExact, nLinked)} " +
       s"canonical_triples=$nTriples warehouse=$warehouse")

@@ -91,8 +91,38 @@ object Canonicalize {
     * material, unlike the corpus-sized mention→canon projection.
     */
   def persoonCanonMap(linkedPersons: DataFrame): DataFrame =
-    canonicalMap(ConnectedComponents.run(surfaceEdges(linkedPersons)))
-      .where(col("node").startsWith("persoon:"))
+    persoonCanonWithFlag(linkedPersons)._1
+
+  /** `(persoon canon rows, hasMerges)` with the whole dimension-bounded CC +
+    * canonical-rule fold done on the DRIVER when the surface edge set is
+    * small (it is, by construction — alias space, not corpus): one collect
+    * job replaces the per-round star jobs, the canonical-map groupBy/join,
+    * and the has-merges probe — all pure serial latency in the scaling
+    * budget. Distributed fallback above the threshold.
+    */
+  def persoonCanonWithFlag(linkedPersons: DataFrame,
+      localMaxEdges: Int = 2000000): (DataFrame, Boolean) = {
+    val spark = linkedPersons.sparkSession
+    val edges = surfaceEdges(linkedPersons)
+    val collected = edges.limit(localMaxEdges + 1).collect()
+    if (collected.length > localMaxEdges) {
+      val m = canonicalMap(ConnectedComponents.run(edges))
+        .where(col("node").startsWith("persoon:"))
+      (m, !m.where(col("node") =!= col("canon")).isEmpty)
+    } else {
+      val comps = ConnectedComponents.localUnionFind(
+        collected.map(r => (r.getString(0), r.getString(1))).toSeq)
+      val canon = comps.groupBy(_._2).iterator.flatMap { case (_, members) =>
+        val ms = members.map(_._1)
+        val rep = ms.filter(_.startsWith("persoon:")).minOption.getOrElse(ms.min)
+        ms.iterator.map(_ -> rep)
+      }.toSeq
+      val persoonRows = canon.filter(_._1.startsWith("persoon:"))
+      import spark.implicits._
+      (persoonRows.toDF("node", "canon"),
+        persoonRows.exists { case (n, c) => n != c })
+    }
+  }
 
   /** Canonical triple set WITHOUT materializing the corpus-sized
     * mention→canon map — the scale path `Pipeline.build` uses.
@@ -112,8 +142,15 @@ object Canonicalize {
     * distinct and their predicates are pairwise disjoint, so their union is
     * already a set.
     */
-  def canonicalTriples(nonMentionTriples: DataFrame, persoonCanon: DataFrame): DataFrame = {
-    val hasMerges = !persoonCanon.where(col("node") =!= col("canon")).isEmpty
+  def canonicalTriples(nonMentionTriples: DataFrame, persoonCanon: DataFrame): DataFrame =
+    canonicalTriples(nonMentionTriples, persoonCanon,
+      !persoonCanon.where(col("node") =!= col("canon")).isEmpty)
+
+  /** As above with the has-merges flag precomputed (Pipeline gets it for
+    * free from the driver-side CC — no probe job).
+    */
+  def canonicalTriples(nonMentionTriples: DataFrame, persoonCanon: DataFrame,
+      hasMerges: Boolean): DataFrame = {
     if (!hasMerges) nonMentionTriples
     else {
       val subjMap = broadcast(persoonCanon

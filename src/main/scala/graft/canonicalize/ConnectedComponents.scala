@@ -23,6 +23,51 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Adaptive entry: when the (deduplicated) edge set fits the driver
+    * comfortably — the surface-form graph is DIMENSION-bounded (≈ alias
+    * space ~10^5, never corpus-sized) and its canonical map feeds a
+    * broadcast join, i.e. the data ends up on the driver anyway — run
+    * union-find locally: ONE collect job instead of one job per star round
+    * (each distributed round costs a full driver round-trip, which is pure
+    * serial time in the scaling budget). Falls back to the distributed
+    * large/small-star loop above the threshold.
+    */
+  def auto(edges: DataFrame, localMaxEdges: Int = 2000000): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("u").cast("string"), col("v").cast("string"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val collected = e.limit(localMaxEdges + 1).collect()
+    if (collected.length > localMaxEdges) run(e)
+    else {
+      import spark.implicits._
+      localUnionFind(collected.map(r => (r.getString(0), r.getString(1))))
+        .toSeq.toDF("node", "component")
+    }
+  }
+
+  /** Driver-side union-find with min-node component labels — semantics
+    * identical to `run` (asserted against the same oracle in
+    * ConnectedComponentsSpec).
+    */
+  private[canonicalize] def localUnionFind(
+      edges: Seq[(String, String)]): Map[String, String] = {
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.groupBy(find).iterator.flatMap { case (_, ns) =>
+      val m = ns.min
+      ns.iterator.map(_ -> m)
+    }.toMap
+  }
+
   /** `edges(u, v)`: undirected string-keyed edges. Returns `(node, component)`
     * for every node incident to an edge, where `component` is the
     * lexicographically smallest node in its component (deterministic

@@ -33,10 +33,17 @@ object Materialize {
   /** Node table from a triple set: every endpoint becomes (label, key) with
     * label = the key's namespace prefix.
     */
-  def nodes(triples: DataFrame): DataFrame = {
+  def nodes(triples: DataFrame): DataFrame =
+    nodesRaw(triples).distinct()
+
+  /** Non-deduplicated node rows — `writeGraph` feeds these straight to the
+    * upsert, whose key-dedup subsumes the distinct (one exchange instead of
+    * two over the widest data).
+    */
+  def nodesRaw(triples: DataFrame): DataFrame = {
     val subj = triples.select(col("subj").as("key"))
     val obj = triples.select(col("obj").as("key"))
-    subj.unionByName(obj).distinct()
+    subj.unionByName(obj)
       .select(substring_index(col("key"), ":", 1).as("label"), col("key"))
   }
 
@@ -131,12 +138,29 @@ object Materialize {
     * integrity enforced against the post-upsert node set.
     */
   def writeGraph(spark: SparkSession, warehouse: String, triples: DataFrame): Unit = {
-    val n = nodes(triples)
-    upsert(spark, s"$warehouse/nodes", n, Seq("key"), "key")
-    val allNodes = spark.read.parquet(s"$warehouse/nodes")
-    val e = withEndpointIntegrity(edges(triples), allNodes)
-    upsert(spark, s"$warehouse/edges", e,
-      Seq("src_key", "rel_type", "dst_key"), "src_key")
+    val initial = !exists(spark, s"$warehouse/nodes")
+    if (initial) {
+      // INITIAL full-derivation write: endpoint integrity is a no-op by
+      // construction (the node set IS the edge endpoint set), so the node
+      // and edge writes have no data dependency — run them as CONCURRENT
+      // Spark jobs. The cluster overlaps the two writes' scheduling gaps;
+      // a single-core cluster serializes them anyway.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fn = Future(upsert(spark, s"$warehouse/nodes",
+        nodesRaw(triples), Seq("key"), "key"))
+      val fe = Future(upsert(spark, s"$warehouse/edges",
+        edges(triples), Seq("src_key", "rel_type", "dst_key"), "src_key"))
+      Await.result(fn, Duration.Inf)
+      Await.result(fe, Duration.Inf)
+    } else {
+      upsert(spark, s"$warehouse/nodes", nodesRaw(triples), Seq("key"), "key")
+      val e = withEndpointIntegrity(edges(triples),
+        spark.read.parquet(s"$warehouse/nodes"))
+      upsert(spark, s"$warehouse/edges", e,
+        Seq("src_key", "rel_type", "dst_key"), "src_key")
+    }
   }
 
   def readNodes(spark: SparkSession, warehouse: String): DataFrame =

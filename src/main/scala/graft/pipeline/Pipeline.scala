@@ -31,17 +31,31 @@ object Pipeline {
     * output BEFORE it is checkpointed/consumed, so the counters ride the
     * pipeline's own first action with zero extra passes (GraftApp uses
     * this; default = no instrumentation).
+    *
+    * `linkStagingDir`: the linked-mentions intermediate feeds three
+    * consumers. By default it is held as a lazy `localCheckpoint` —
+    * right for single-box scale, but its blocks live in executor storage.
+    * At 10^12 rows pass a staging dir instead: the intermediate becomes a
+    * WRITTEN parquet table (durable, spillable, partition-prunable) that
+    * each consumer re-reads — the cluster-scale form of the same seam.
     */
   def build(spark: SparkSession, turns: DataFrame,
-      observeLink: DataFrame => DataFrame = identity): Stages = {
+      observeLink: DataFrame => DataFrame = identity,
+      linkStagingDir: Option[String] = None): Stages = {
     // lazy localCheckpoint rather than cache(): same recompute-avoidance for
     // the three consumers, PLUS it truncates the logical plan — downstream
     // trees (triples union × 11 branches, rewrite joins) otherwise each
     // carry the full extract+link subtree into Catalyst analysis/
     // optimization on every action, which is serial driver time
-    val linkedPersons =
+    val linkedRaw =
       observeLink(Link.linkPersons(Extract.speakerMentions(turns), Dict.personsDf(spark)))
-        .localCheckpoint(false)
+    val linkedPersons = linkStagingDir match {
+      case Some(dir) =>
+        val path = s"$dir/linked_persons"
+        linkedRaw.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case None => linkedRaw.localCheckpoint(false)
+    }
     val linkedZaken = Link.linkZaken(Extract.caseMentions(turns),
       Dict.zakenDf(spark), Dict.dossiersDf(spark), Dict.documentsDf(spark))
     val votes = Extract.voteMentions(turns)
@@ -54,10 +68,11 @@ object Pipeline {
     // computed here — equivalence with rewrite(all, canonicalMapScalable) is
     // asserted in ConnectedComponentsSpec. This removes every corpus-sized
     // shuffle from the canonicalize stage.
+    val (persoonCanon, hasMerges) = Canonicalize.persoonCanonWithFlag(linkedPersons)
     val canonical = Canonicalize.canonicalTriples(
       Triples.allNonMention(linkedPersons, linkedZaken, votes,
         Dict.personsDf(spark), Dict.fractiesDf(spark)),
-      Canonicalize.persoonCanonMap(linkedPersons))
+      persoonCanon, hasMerges)
     Stages(turns, linkedPersons, linkedZaken, votes, triples, canonical)
   }
 }

@@ -86,6 +86,42 @@ object Triples {
       .unionByName(tri(convKey, Pred.ContainsZaak, zaakKey)(
         linkedZaken.where(col("entity_id").isNotNull)))
 
+  /** Raw (non-deduplicated) forms of the multi-valued branches, fused under
+    * ONE distinct in `all`/`allNonMention`: ten per-branch distinct
+    * exchanges become one — same final set (dedup is idempotent and
+    * branches have disjoint predicates), an order of magnitude fewer
+    * shuffle barriers/AQE jobs per action (pure driver-serial latency in
+    * the scaling budget).
+    */
+  private def spokeInRaw(lp: DataFrame) = triRaw(persoonKey, Pred.SpokeIn, convKey)(lp)
+
+  private def discussesRaw(lp: DataFrame, lz: DataFrame): DataFrame = {
+    val z = lz.where(col("entity_id").isNotNull)
+      .select("conv_id", "turn_idx", "entity_id", "match_type")
+    lp.select("conv_id", "turn_idx", "persoon_id")
+      .join(z, Seq("conv_id", "turn_idx"))
+      .select(
+        persoonKey.as("subj"),
+        when(col("match_type") === graft.model.MatchType.Exact, Pred.DiscussesZaak)
+          .otherwise(Pred.DiscussesDossier).as("pred"),
+        zaakKey.as("obj"))
+  }
+
+  private def containmentRaw(lp: DataFrame, lz: DataFrame): DataFrame =
+    triRaw(convKey, Pred.ContainsSpeaker, persoonKey)(lp)
+      .unionByName(triRaw(convKey, Pred.ContainsZaak, zaakKey)(
+        lz.where(col("entity_id").isNotNull)))
+
+  private def interruptionsRaw(linkedSpeakers: DataFrame): DataFrame = {
+    val events = Interruptions.detect(linkedSpeakers)
+    triRaw(concat(lit(P), col("interrupter")), Pred.InterruptedIn, convKey)(events)
+      .unionByName(
+        triRaw(concat(lit(P), col("interrupted")), Pred.WasInterruptedIn, convKey)(events))
+      .unionByName(
+        triRaw(concat(lit(P), col("interrupted")), Pred.RespondedIn, convKey)(
+          events.where(col("itype") === InterruptionType.WithResponse)))
+  }
+
   /** Dictionary membership edges (reference Persoon→Fractie via
     * FractieZetelPersoon; dims are part of the graph, seed_enums parity).
     */
@@ -123,23 +159,26 @@ object Triples {
 
   /** Every branch except mention provenance — the input to the scale-path
     * canonicalization (`Canonicalize.canonicalTriples`), which proves the
-    * mention branch always self-loops away. Branches are each internally
-    * distinct and predicates are pairwise disjoint, so this union is a set.
+    * mention branch always self-loops away. Raw branches fused under ONE
+    * distinct (see the raw-branch Scaladoc), so the result is a set.
     */
   def allNonMention(linkedPersons: DataFrame, linkedZaken: DataFrame,
       voteMentions: DataFrame, persons: DataFrame, fracties: DataFrame): DataFrame = {
     val speakers = linkedPersons
       .select(col("conv_id"), col("turn_idx"), col("persoon_id").as("speaker"))
-    spokeIn(linkedPersons)
-      .unionByName(discusses(linkedPersons, linkedZaken))
-      .unionByName(containment(linkedPersons, linkedZaken))
+    spokeInRaw(linkedPersons)
+      .unionByName(discussesRaw(linkedPersons, linkedZaken))
+      .unionByName(containmentRaw(linkedPersons, linkedZaken))
       .unionByName(memberOf(persons))
-      .unionByName(interruptions(speakers))
+      .unionByName(interruptionsRaw(speakers))
       .unionByName(votes(voteMentions, fracties))
+      .distinct()
   }
 
   /** The full triple set. Inputs are the upstream stage outputs; dims are the
-    * dictionary DataFrames.
+    * dictionary DataFrames. (The mention branch is unique by construction,
+    * disjoint from the rest by predicate, and `allNonMention` is already a
+    * set — the union needs no further dedup.)
     */
   def all(linkedPersons: DataFrame, linkedZaken: DataFrame,
       voteMentions: DataFrame, persons: DataFrame, fracties: DataFrame): DataFrame =

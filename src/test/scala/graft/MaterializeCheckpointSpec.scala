@@ -81,6 +81,32 @@ class MaterializeCheckpointSpec extends SparkSpec {
     assert(pruned.count() == expect)
   }
 
+  test("debug JSONL sink writes readable lines; single-file variant bounds rows") {
+    val dir = tmp("dbg")
+    val df = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")
+    graft.materialize.DebugSink.jsonl(df, s"$dir/all")
+    assert(spark.read.json(s"$dir/all").count() == 3)
+    graft.materialize.DebugSink.jsonlSingle(df, s"$dir/one", maxRows = 2)
+    val single = spark.read.json(s"$dir/one")
+    assert(single.count() == 2)
+    assert(new java.io.File(s"$dir/one").listFiles()
+      .count(_.getName.endsWith(".json")) == 1)
+  }
+
+  test("pipeline link staging dir: intermediate becomes a written parquet table") {
+    val staging = tmp("stage")
+    val turns = Seq(
+      ("c1", 0, "member", "De voorzitter geeft het woord aan Anna Jansen", null.asInstanceOf[String]),
+      ("c1", 1, "member", "Wij bespreken vandaag het wetsvoorstel in detail", null.asInstanceOf[String])
+    ).map { case (c, i, r, t, tool) =>
+      (c, i, r, t, tool, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val stages = graft.pipeline.Pipeline.build(spark, turns,
+      linkStagingDir = Some(staging))
+    assert(stages.canonical.count() > 0)
+    assert(spark.read.parquet(s"$staging/linked_persons").count() == 1)
+  }
+
   test("endpoint integrity drops edges with a missing endpoint (merge_rel parity)") {
     val nodes = Seq(("persoon", "persoon:P1"), ("conv", "conv:c1")).toDF("label", "key")
     val edges = Materialize.edges(triples(
