@@ -208,6 +208,17 @@ object SparkEntry {
       Interruptions.responsePatterns(Interruptions.detect(linkedSpeakers(s, dir)))
     }),
 
+    // Analysis: A6 interruption type counts
+    "kg_interruption_types" -> ((s, dir) => {
+      Interruptions.typeCounts(Interruptions.detect(linkedSpeakers(s, dir)))
+        .orderBy("itype")
+    }),
+
+    // Analysis: A7 most frequent interrupters / most interrupted
+    "kg_top_interrupters" -> ((s, dir) => {
+      Interruptions.ranks(Interruptions.detect(linkedSpeakers(s, dir)))
+    }),
+
     // Analysis: A2/A12 per-conversation consensus + classification
     "kg_vote_consensus" -> ((s, dir) => {
       Voting.consensus(votes(s, dir), Seq("conv_id")).orderBy("conv_id")
@@ -538,6 +549,21 @@ object SparkEntry {
       """SELECT interrupted AS responder, interrupter AS responded_to, COUNT(*) AS n
         |FROM interruptions WHERE itype = 'INTERRUPTION_WITH_RESPONSE'
         |GROUP BY 1, 2 ORDER BY n DESC, responder, responded_to""".stripMargin),
+
+    "kg_interruption_types" -> OracleSql.withCtes(
+      OracleSql.speakerMentionsCte, OracleSql.linkPersonsCte, OracleSql.interruptionsCte)(
+      """SELECT itype, COUNT(*) AS n FROM interruptions
+        |GROUP BY 1 ORDER BY itype""".stripMargin),
+
+    "kg_top_interrupters" -> OracleSql.withCtes(
+      OracleSql.speakerMentionsCte, OracleSql.linkPersonsCte, OracleSql.interruptionsCte)(
+      """SELECT speaker, n, side FROM (
+        |  SELECT interrupter AS speaker, COUNT(*) AS n, 'interrupter' AS side
+        |  FROM interruptions GROUP BY 1
+        |  UNION ALL
+        |  SELECT interrupted AS speaker, COUNT(*) AS n, 'interrupted' AS side
+        |  FROM interruptions GROUP BY 1)
+        |ORDER BY side, n DESC, speaker""".stripMargin),
 
     "kg_vote_consensus" -> OracleSql.withCtes(OracleSql.voteMentionsCte)(
       """SELECT conv_id, voor, tegen, onthouding, total,

@@ -63,6 +63,20 @@ object Interruptions {
     events.groupBy("interrupter").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("interrupter"))
 
+  /** A7 both directions in one frame: per-speaker event counts as
+    * interrupter and as interrupted (reference's most_frequent_interrupters
+    * / most_interrupted lists, interruption_analyzer.py:128-146), tagged by
+    * `side` — one grouped count per direction, no shuffle beyond the two
+    * partial aggregates.
+    */
+  def ranks(events: DataFrame): DataFrame = {
+    def side(c: String) = events
+      .groupBy(col(c).as("speaker")).agg(count(lit(1)).as("n"))
+      .withColumn("side", lit(c))
+    side("interrupter").unionByName(side("interrupted"))
+      .orderBy(col("side"), col("n").desc, col("speaker"))
+  }
+
   /** A8: interruption pairs A→B with counts. Partial aggregation (map-side
     * combine) makes the hot-chair key a non-issue at scale.
     */

@@ -78,6 +78,25 @@ class ExtractLinkSpec extends SparkSpec {
     assert(linked.head.getAs[String]("match_type") == MatchType.Fuzzy)
   }
 
+  test("fallback tier golden vectors: first-name-less mention scores through nameScore; accept boundary at ratio 80") {
+    // The reference fallback (api_extractor.py:157-168) pushes contains-
+    // candidates through the SAME calculate_name_similarity + >=60 gate as
+    // tier 1 (_calculate_best_persoon_match, api_extractor.py:289-301) —
+    // there is no flat fallback score. With v_first empty the score is
+    // ratio(last, bare) - 20, so the accept boundary is ratio == 80 exactly.
+    val d = Seq(("P7", "Wil", "", "Woldering", "Willem", "F1"))
+      .toDF("persoon_id", "roepnaam", "tussenvoegsel", "achternaam", "voornamen", "fractie_id")
+    // ratio("dering","woldering") = (1 - 3/15)*100 = 80 -> score 60, accepted
+    val accept = turnsDf(("c1", 0, "De heer Dering interrumpeert de spreker"))
+    val a = Link.linkPersons(Extract.speakerMentions(accept), d).collect()
+    assert(a.length == 1 && a.head.getAs[String]("persoon_id") == "P7")
+    assert(a.head.getAs[Int]("score") == 60)
+    assert(a.head.getAs[String]("match_type") == MatchType.Fuzzy)
+    // ratio("ring","woldering") = (1 - 5/13)*100 ~= 62 -> score 42, dropped
+    val reject = turnsDf(("c1", 0, "De heer Ring interrumpeert de spreker"))
+    assert(Link.linkPersons(Extract.speakerMentions(reject), d).isEmpty)
+  }
+
   test("medium first-name band adds +20 (60<=ratio<75)") {
     // 'Tmi' vs 'Tim': ratio 67 -> +20; surname exact 60 -> 80 total
     val t = turnsDf(("c1", 0, "De voorzitter geeft het woord aan Tmi Hendriks"))
