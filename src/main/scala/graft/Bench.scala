@@ -173,9 +173,27 @@ object Bench {
       cpus: Int, triples: Long, medianSec: Double, minSec: Double,
       maxSec: Double, medianStages: Map[String, Double], aluMops: Double)
 
+  /** Per-level clock probe in a DEDICATED child JVM pinned to the level's
+    * WORKER cores (`pin`), n concurrent chains. Running the probe inside the
+    * Spark driver JVM would be wrong in cluster mode — the driver is pinned
+    * to its own 2 cores, so an n-thread probe there measures thread
+    * oversubscription, not worker-core clocks.
+    */
+  private def probeClock(pin: String, n: Int): Double = {
+    val cmd = Seq("taskset", "-c", pin, javaBin, "-Xmx256m",
+      "-cp", classpath, "graft.AluProbe", n.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    require(proc.waitFor() == 0, s"clock probe failed:\n$out")
+    out.linesIterator.find(_.startsWith("ALU ")).map(_.trim.split("\\s+")(2).toDouble)
+      .getOrElse(sys.error(s"no ALU line from probe:\n$out"))
+  }
+
   /** Run one level's child driver process; parse its RUN lines. */
   private def runChild(masterUrl: String, n: Int, driverPin: String,
-      inputDir: String, warmDir: String, runs: Int): LevelResult = {
+      inputDir: String, warmDir: String, runs: Int, alu: Double): LevelResult = {
     val errFile = java.io.File.createTempFile(s"bench-child-$n-", ".log")
     val cmd = Seq("taskset", "-c", driverPin, javaBin) ++ jdk17AddOpens ++
       Seq(s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "20g")}",
@@ -201,8 +219,6 @@ object Bench {
         "triples_canon_sec" -> f(4).toDouble, "materialize_sec" -> f(5).toDouble))
     }.toSeq
     require(parsed.size == runs, s"expected $runs RUN lines, got:\n$out")
-    val alu = out.linesIterator.find(_.startsWith("ALU "))
-      .map(_.trim.split("\\s+")(2).toDouble).getOrElse(0.0)
     val ns = parsed.map(_._1).distinct
     require(ns.size == 1, s"non-deterministic result at $n cores: $ns")
     val sorted = parsed.sortBy(_._2("total_sec"))
@@ -219,16 +235,19 @@ object Bench {
   private def measureLevelLocal(n: Int, inputDir: String, warmDir: String,
       runs: Int): LevelResult = {
     val pinned = math.min(n + 1, Runtime.getRuntime.availableProcessors())
-    runChild(s"local[$n]", n, s"0-${pinned - 1}", inputDir, warmDir, runs)
+    val alu = probeClock(s"0-${pinned - 1}", n)
+    runChild(s"local[$n]", n, s"0-${pinned - 1}", inputDir, warmDir, runs, alu)
   }
 
   /** Cluster mode: standalone master + n pinned single-core worker JVMs. */
   private def measureLevelCluster(n: Int, inputDir: String, warmDir: String,
       runs: Int): LevelResult = {
+    val workerSpan = math.min(n, WorkerCores)
+    val alu = probeClock(s"0-${workerSpan - 1}", n)
     val workers = (0 until n).map(startWorker)
     try {
       Thread.sleep(4000 + 150L * n) // registration
-      runChild(MasterUrl, n, DriverCores, inputDir, warmDir, runs)
+      runChild(MasterUrl, n, DriverCores, inputDir, warmDir, runs, alu)
     } finally {
       workers.foreach(_.destroyForcibly())
       killStray()
@@ -370,48 +389,10 @@ object BenchChild {
     (n, total, tBuild, tPipe, tMat)
   }
 
-  /** Per-level CPU clock probe: n concurrent ILP-saturating ALU chains
-    * (4-way-unrolled LCG — wide-IPC like codegen'd Spark loops), median of
-    * 3 reps, per-thread M ops/s. On this host a single active core turbo-
-    * boosts ~1.2× over all-core clocks (DVFS); the probe measures that
-    * ratio IN-RUN so the emitted JSON carries the hardware evidence that
-    * separates clock scaling from dataflow scaling. A real cluster runs N
-    * and 4N executor machines at identical clocks — no such artifact.
-    */
-  private def aluProbe(threads: Int): Double = {
-    def chain(seed: Long, iters: Int): Long = {
-      var a = seed; var b = seed + 1; var c = seed + 2; var d = seed + 3
-      var i = 0
-      while (i < iters) {
-        a = a * 6364136223846793005L + 1442695040888963407L
-        b = b * 6364136223846793005L + 1442695040888963407L
-        c = c * 6364136223846793005L + 1442695040888963407L
-        d = d * 6364136223846793005L + 1442695040888963407L
-        i += 1
-      }
-      a ^ b ^ c ^ d
-    }
-    val iters = 300000000
-    chain(1, iters / 4) // JIT warm
-    val reps = (1 to 3).map { _ =>
-      val sink = new Array[Long](threads)
-      val t0 = System.nanoTime()
-      val ts = (0 until threads).map { t =>
-        val th = new Thread(() => sink(t) = chain(t + 1, iters))
-        th.start(); th
-      }
-      ts.foreach(_.join())
-      iters / ((System.nanoTime() - t0) / 1e9) / 1e6
-    }.sorted
-    reps(1)
-  }
-
   def main(args: Array[String]): Unit = {
     val Array(masterUrl, nS, inputDir, _warmDirUnused, runsS) = args
     val n = nS.toInt
     val runs = runsS.toInt
-    val alu = aluProbe(n)
-    println(f"ALU $n $alu%.2f")
     def freshSession(): SparkSession = {
       // a stopped default session otherwise poisons the next getOrCreate
       SparkSession.clearActiveSession()
@@ -435,5 +416,54 @@ object BenchChild {
         println(f"RUN $cnt $total%.4f $b%.4f $p%.4f $m%.4f")
       } finally s.stop()
     }
+  }
+}
+
+/** Standalone CPU clock probe, run by Bench in its own child JVM pinned (via
+  * `taskset`) to exactly the cores whose clock rate is being measured: n
+  * concurrent ILP-saturating ALU chains (4-way-unrolled LCG — wide-IPC like
+  * codegen'd Spark loops), median of 3 reps, per-thread M ops/s on stdout as
+  * `ALU <n> <mops>`. On this host a single active core turbo-boosts ~1.2×
+  * over all-core clocks (DVFS); the probe carries that hardware evidence
+  * into the emitted bench JSON so clock scaling is separated from dataflow
+  * scaling (a real cluster adds machines at identical clocks). A dedicated
+  * pinned JVM — not the Spark driver — because in cluster mode the driver
+  * owns 2 cores of its own: an n-thread probe there would measure thread
+  * oversubscription, not worker-core clocks.
+  */
+object AluProbe {
+
+  private def chain(seed: Long, iters: Int): Long = {
+    var a = seed; var b = seed + 1; var c = seed + 2; var d = seed + 3
+    var i = 0
+    while (i < iters) {
+      a = a * 6364136223846793005L + 1442695040888963407L
+      b = b * 6364136223846793005L + 1442695040888963407L
+      c = c * 6364136223846793005L + 1442695040888963407L
+      d = d * 6364136223846793005L + 1442695040888963407L
+      i += 1
+    }
+    a ^ b ^ c ^ d
+  }
+
+  def measure(threads: Int): Double = {
+    val iters = 300000000
+    chain(1, iters / 4) // JIT warm
+    val reps = (1 to 3).map { _ =>
+      val sink = new Array[Long](threads)
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { t =>
+        val th = new Thread(() => sink(t) = chain(t + 1, iters))
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      iters / ((System.nanoTime() - t0) / 1e9) / 1e6
+    }.sorted
+    reps(1)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args(0).toInt
+    println(f"ALU $n ${measure(n)}%.2f")
   }
 }
