@@ -213,10 +213,10 @@ object Bench {
     require(rc == 0, s"bench child n=$n failed rc=$rc\n$errTail")
     errFile.delete()
     val parsed = out.linesIterator.filter(_.startsWith("RUN ")).map { l =>
-      val f = l.trim.split("\\s+") // RUN n total build pipe mat
+      val f = l.trim.split("\\s+") // RUN n total build write
       (f(1).toLong, Map(
         "total_sec" -> f(2).toDouble, "extract_link_cc_sec" -> f(3).toDouble,
-        "triples_canon_sec" -> f(4).toDouble, "materialize_sec" -> f(5).toDouble))
+        "graph_write_sec" -> f(4).toDouble))
     }.toSeq
     require(parsed.size == runs, s"expected $runs RUN lines, got:\n$out")
     val ns = parsed.map(_._1).distinct
@@ -366,7 +366,7 @@ object BenchChild {
     spark.range(1000L * n).repartition(n).count()
   }
 
-  private def run(spark: SparkSession, inputDir: String): (Long, Double, Double, Double, Double) = {
+  private def run(spark: SparkSession, inputDir: String): (Long, Double, Double, Double) = {
     val wh = s"${Bench.ShmRoot}/wh-${System.nanoTime()}/w"
     val taskMs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -379,14 +379,14 @@ object BenchChild {
     val tStart = System.nanoTime()
     val (stages, tBuild) =
       timed(graft.pipeline.Pipeline.build(spark, spark.read.parquet(inputDir)))
-    // lazy localCheckpoint: one materialization (the count), flat plans for
-    // the materialize actions (no Catalyst re-run over the canonical tree)
-    val canonical = stages.canonical.localCheckpoint(false)
-    val (n, tPipe) = timed(canonical.count())
-    val (_, tMat) = timed(graft.materialize.Materialize.writeGraph(spark, wh, canonical))
+    // one-pass graph write: the canonical triple plan executes exactly once,
+    // straight into the edge table (no checkpoint blocks, no dedup exchange
+    // — the canonical set is distinct by construction, no count pass)
+    val (n, tWrite) = timed(graft.materialize.Materialize.writeGraphInitial(
+      spark, wh, stages.canonical, triplesDistinct = true))
     val total = (System.nanoTime() - tStart) / 1e9
     System.err.println(f"TASKTIME ${taskMs.get / 1000.0}%.2f wall $total%.2f")
-    (n, total, tBuild, tPipe, tMat)
+    (n, total, tBuild, tWrite)
   }
 
   def main(args: Array[String]): Unit = {
@@ -412,8 +412,8 @@ object BenchChild {
       val s = freshSession()
       try {
         awaitExecutors(s, n)
-        val (cnt, total, b, p, m) = run(s, inputDir)
-        println(f"RUN $cnt $total%.4f $b%.4f $p%.4f $m%.4f")
+        val (cnt, total, b, wr) = run(s, inputDir)
+        println(f"RUN $cnt $total%.4f $b%.4f $wr%.4f")
       } finally s.stop()
     }
   }

@@ -66,7 +66,7 @@ object GraftApp {
     val canonical = stages.canonical.localCheckpoint(false)
     val nTriples = canonical.count()
 
-    Materialize.writeGraph(spark, warehouse, canonical)
+    Materialize.writeGraph(spark, warehouse, canonical, triplesDistinct = true)
     Checkpoint.recordProcessed(spark, lineage, runId, "pipeline", turns, "conv_id")
 
     // link counters: one tiny aggregate over the CHECKPOINTED link output —

@@ -46,6 +46,10 @@ object SparkEntry {
   val AnnBits = 16
   val AnnTables = 8
 
+  /** IVF coarse-quantizer size and probe width (Similarity.ivfTopK). */
+  val IvfCentroids = 16
+  val IvfProbe = 4
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -319,6 +323,18 @@ object SparkEntry {
     // the approximation quality emitted as data (one row)
     "td_ann_lsh_recall" -> ((s, dir) => {
       graft.dataops.Similarity.lshRecall(embeddings(s, dir), 5, AnnBits, AnnTables)
+    }),
+
+    // Similarity: IVF (inverted-file) top-k — the second scale path: probe-
+    // bounded search over hash-seeded coarse cells (k-means seam at scale)
+    "td_ann_ivf_topk" -> ((s, dir) => {
+      graft.dataops.Similarity.ivfTopK(embeddings(s, dir), 5, IvfCentroids, IvfProbe)
+        .orderBy("vec_id", "rank")
+    }),
+
+    // Similarity: measured recall@k of the IVF path vs the exact baseline
+    "td_ann_ivf_recall" -> ((s, dir) => {
+      graft.dataops.Similarity.ivfRecall(embeddings(s, dir), 5, IvfCentroids, IvfProbe)
     }),
 
     // Text: language-ID heuristic
@@ -660,6 +676,14 @@ object SparkEntry {
     "td_ann_lsh_recall" -> DataOpsSql.withDocCtes(
       DataOpsSql.annLshRecallCte(5, AnnBits, AnnTables, 64))(
       "SELECT n_queries, n_hits, n_exact, recall_permille FROM lsh_recall"),
+
+    "td_ann_ivf_topk" -> DataOpsSql.withDocCtes(
+      DataOpsSql.annIvfTopKCte(5, IvfCentroids, IvfProbe))(
+      "SELECT vec_id, neighbor_id, cos_1e6, rank FROM ann_ivf_topk ORDER BY vec_id, rank"),
+
+    "td_ann_ivf_recall" -> DataOpsSql.withDocCtes(
+      DataOpsSql.annIvfRecallCte(5, IvfCentroids, IvfProbe))(
+      "SELECT n_queries, n_hits, n_exact, recall_permille FROM ivf_recall"),
 
     "td_lang_id" -> DataOpsSql.withDocCtes(DataOpsSql.langIdCte)(
       """SELECT doc_id, nl_hits, en_hits, n_words, lang_pred, confidence_permille

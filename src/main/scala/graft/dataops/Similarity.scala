@@ -128,10 +128,13 @@ object Similarity {
     * rank-agnostic set recall, the standard ANN metric.
     */
   def lshRecall(embeddings: DataFrame, k: Int = 5, nBits: Int = 16,
-      nTables: Int = 8, dim: Int = 64): DataFrame = {
+      nTables: Int = 8, dim: Int = 64): DataFrame =
+    recallVsExact(embeddings, lshTopK(embeddings, k, nBits, nTables, dim), k)
+
+  private def recallVsExact(embeddings: DataFrame, approxTopK: DataFrame,
+      k: Int): DataFrame = {
     val exact = bruteForceTopK(embeddings, k).select("vec_id", "neighbor_id")
-    val approx = lshTopK(embeddings, k, nBits, nTables, dim)
-      .select("vec_id", "neighbor_id")
+    val approx = approxTopK.select("vec_id", "neighbor_id")
     val hits = exact.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
     exact.agg(
       countDistinct(col("vec_id")).as("n_queries"),
@@ -140,4 +143,62 @@ object Similarity {
       .select(col("n_queries"), col("n_hits"), col("n_exact"),
         floor(col("n_hits") * 1000 / col("n_exact")).cast("int").as("recall_permille"))
   }
+
+  // ---------------------------------------------------------------- IVF ----
+
+  /** Deterministic coarse centroids for the IVF path: the `nCentroids`
+    * vectors with the smallest `(h32(vec_id), vec_id)` — a seeded stand-in
+    * for the sampled k-means job that produces real IVF centroids at 100 TB.
+    * Either way the centroid table is tiny (k ≪ n) and broadcast; the cell
+    * assignment and probe-bounded search in `ivfTopK` are the actual scale
+    * plan and don't care where the centroids came from.
+    */
+  def ivfCentroids(embeddings: DataFrame, nCentroids: Int): DataFrame =
+    prep(embeddings)
+      .withColumn("h", ContentHash.h32(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("emb").as("cemb"))
+
+  /** (vec_id, emb, cell, crank): every vector scored against every centroid
+    * (k small, broadcast — n·k narrow rows, no shuffle), ranked per vector
+    * by (cosine desc, centroid_id asc). crank = 1 is the vector's home
+    * cell; crank ≤ nprobe are the cells its queries probe.
+    */
+  private def cellRanked(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = prep(embeddings)
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", floor(cosine(col("emb"), col("cemb")) * 1e6).cast("long"))
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("centroid_id").asc)
+    scored.withColumn("crank", row_number().over(w))
+      .select(col("vec_id"), col("emb"), col("centroid_id").as("cell"), col("crank"))
+  }
+
+  /** IVF (inverted-file) approximate top-k — the second scale path next to
+    * LSH: vectors are partitioned into their home cells, queries search only
+    * their `nprobe` nearest cells, so the candidate join shuffles on `cell`
+    * and touches ≈ n·nprobe/nCentroids rows per query — never all-pairs. At
+    * 100 TB: nCentroids ≈ √n keeps cells bounded, nprobe trades recall for
+    * cost, and skewed cells split under AQE like any hot join key. Unlike
+    * multi-table LSH a candidate pair can only arise once (each neighbor
+    * has exactly ONE home cell), so no dedup exchange is needed.
+    */
+  def ivfTopK(embeddings: DataFrame, k: Int = 5, nCentroids: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val ranked0 = cellRanked(embeddings, ivfCentroids(embeddings, nCentroids))
+    val homes = ranked0.where(col("crank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("emb").as("emb_r"), col("cell"))
+    val probes = ranked0.where(col("crank") <= nprobe)
+      .select(col("vec_id"), col("emb"), col("cell"))
+    val pairs = probes.join(homes, Seq("cell"))
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        floor(cosine(col("emb"), col("emb_r")) * 1e6).cast("long").as("cos_1e6"))
+    ranked(pairs, k)
+  }
+
+  /** Measured recall@k of the IVF result vs the exact baseline (one row). */
+  def ivfRecall(embeddings: DataFrame, k: Int = 5, nCentroids: Int = 16,
+      nprobe: Int = 4): DataFrame =
+    recallVsExact(embeddings, ivfTopK(embeddings, k, nCentroids, nprobe), k)
 }

@@ -134,26 +134,53 @@ object Materialize {
     spark.read.parquet(path)
       .where(col("bucket").isin(buckets.map(b => b: Any): _*))
 
-  /** Materialize a triple set into `warehouse/{nodes,edges}` with endpoint
-    * integrity enforced against the post-upsert node set.
+  /** INITIAL full-derivation write, shaped for the first (cluster-sized)
+    * load — the path the bench measures:
+    *
+    *  - The triple plan is executed exactly ONCE, straight into the edge
+    *    table. No intermediate checkpoint of the triple set (at 10^12 rows
+    *    those blocks are pure extra memory/IO traffic) and, when the caller
+    *    guarantees `triplesDistinct` (Canonicalize.canonicalTriples emits a
+    *    set by construction), no dedup exchange over the widest data either.
+    *  - The node table is derived from the WRITTEN edge files — a columnar
+    *    re-read of the two key columns, far cheaper than re-deriving from
+    *    the triple plan. Endpoint integrity is a no-op by construction on a
+    *    full derivation (the node set IS the endpoint set).
+    *  - Returns the edge count from parquet metadata — no extra data pass
+    *    (replaces a count action over the triple set).
+    *
+    * Overwrite semantics make a retried initial load idempotent after a
+    * partial failure.
     */
-  def writeGraph(spark: SparkSession, warehouse: String, triples: DataFrame): Unit = {
+  def writeGraphInitial(spark: SparkSession, warehouse: String,
+      triples: DataFrame, triplesDistinct: Boolean = true): Long = {
+    val edgePath = s"$warehouse/edges"
+    val e = edges(triples)
+      .withColumn("bucket", pmod(xxhash64(col("src_key")), lit(NBuckets)).cast("int"))
+    val eUnique =
+      if (triplesDistinct) e
+      else e.dropDuplicates(Seq("src_key", "rel_type", "dst_key"))
+    eUnique.write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(edgePath)
+    val written = spark.read.parquet(edgePath)
+    val keys = written.select(col("src_key").as("key"))
+      .unionByName(written.select(col("dst_key").as("key")))
+    upsert(spark, s"$warehouse/nodes",
+      keys.select(substring_index(col("key"), ":", 1).as("label"), col("key")),
+      Seq("key"), "key")
+    written.count()
+  }
+
+  /** Materialize a triple set into `warehouse/{nodes,edges}` with endpoint
+    * integrity enforced against the post-upsert node set. Set
+    * `triplesDistinct` when the input is already a set (the canonical
+    * pipeline output is) to skip the initial-path dedup exchange.
+    */
+  def writeGraph(spark: SparkSession, warehouse: String, triples: DataFrame,
+      triplesDistinct: Boolean = false): Unit = {
     val initial = !exists(spark, s"$warehouse/nodes")
     if (initial) {
-      // INITIAL full-derivation write: endpoint integrity is a no-op by
-      // construction (the node set IS the edge endpoint set), so the node
-      // and edge writes have no data dependency — run them as CONCURRENT
-      // Spark jobs. The cluster overlaps the two writes' scheduling gaps;
-      // a single-core cluster serializes them anyway.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val fn = Future(upsert(spark, s"$warehouse/nodes",
-        nodesRaw(triples), Seq("key"), "key"))
-      val fe = Future(upsert(spark, s"$warehouse/edges",
-        edges(triples), Seq("src_key", "rel_type", "dst_key"), "src_key"))
-      Await.result(fn, Duration.Inf)
-      Await.result(fe, Duration.Inf)
+      writeGraphInitial(spark, warehouse, triples, triplesDistinct)
+      ()
     } else {
       upsert(spark, s"$warehouse/nodes", nodesRaw(triples), Seq("key"), "key")
       val e = withEndpointIntegrity(edges(triples),

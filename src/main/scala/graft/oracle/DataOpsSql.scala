@@ -210,6 +210,58 @@ object DataOpsSql {
        |  JOIN emb b ON c.neighbor_id = b.vec_id),
        |${topKSql("ann_topk", "ann_pairs", k)}""".stripMargin
 
+  /** IVF cells: hash-chosen deterministic centroids (mirrors
+    * Similarity.ivfCentroids), per-vector cell ranks by (cos desc,
+    * centroid_id), home cell = rank 1, probed cells = rank <= nprobe.
+    */
+  private def ivfCtes(nCentroids: Int, nprobe: Int): String =
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |ivf_cent AS (
+       |  SELECT vec_id AS centroid_id, e AS ce FROM emb
+       |  ORDER BY ${graft.dataops.ContentHash.h32Sql("CAST(vec_id AS VARCHAR)")}, vec_id
+       |  LIMIT $nCentroids),
+       |ivf_ranked AS (
+       |  SELECT vec_id, e, cell, crank FROM (
+       |    SELECT v.vec_id, v.e, c.centroid_id AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |             CAST(FLOOR(list_dot_product(v.e, c.ce) /
+       |                  (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce)))
+       |                  * 1000000) AS BIGINT) DESC, c.centroid_id) AS crank
+       |    FROM emb v CROSS JOIN ivf_cent c)),
+       |ivf_home AS (
+       |  SELECT vec_id AS neighbor_id, e AS er, cell FROM ivf_ranked WHERE crank = 1),
+       |ivf_probe AS (
+       |  SELECT vec_id, e, cell FROM ivf_ranked WHERE crank <= $nprobe),
+       |ivf_pairs AS (
+       |  SELECT p.vec_id, h.neighbor_id,
+       |         CAST(FLOOR(list_dot_product(p.e, h.er) /
+       |              (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(h.er, h.er)))
+       |              * 1000000) AS BIGINT) AS cos_1e6
+       |  FROM ivf_probe p JOIN ivf_home h USING (cell)
+       |  WHERE p.vec_id <> h.neighbor_id)""".stripMargin
+
+  def annIvfTopKCte(k: Int, nCentroids: Int, nprobe: Int): String =
+    s"""${ivfCtes(nCentroids, nprobe)},
+       |${topKSql("ann_ivf_topk", "ivf_pairs", k)}""".stripMargin
+
+  /** Recall@k of the IVF top-k vs the exact top-k, as one row. */
+  def annIvfRecallCte(k: Int, nCentroids: Int, nprobe: Int): String =
+    s"""${ivfCtes(nCentroids, nprobe)},
+       |${topKSql("ivf_topk", "ivf_pairs", k)},
+       |ex_pairs AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id, $cosPairSql AS cos_1e6
+       |  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+       |${topKSql("ex_topk", "ex_pairs", k)},
+       |ivf_recall AS (
+       |  SELECT CAST(COUNT(DISTINCT e.vec_id) AS BIGINT) AS n_queries,
+       |         CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |         CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |         CAST(FLOOR(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000
+       |                    / COUNT(*)) AS INT) AS recall_permille
+       |  FROM ex_topk e
+       |  LEFT JOIN ivf_topk l
+       |    ON e.vec_id = l.vec_id AND e.neighbor_id = l.neighbor_id)""".stripMargin
+
   /** Recall@k of the LSH top-k vs the exact top-k, as one row. */
   def annLshRecallCte(k: Int, nBits: Int, nTables: Int, dim: Int): String =
     s"""${lshCandCtes(nBits, nTables, dim)},

@@ -58,6 +58,27 @@ class SimilaritySpec extends SparkSpec {
     assert(cand < allPairs / 4, s"candidates $cand vs all-pairs $allPairs")
   }
 
+  test("IVF: recall@5 >= 0.9 on clustered vectors with probe-bounded candidates") {
+    val df = clustered()
+    // nCentroids = NClusters: with one hash-seeded seed per cluster region
+    // the home cells track the true clusters; nprobe=4 covers seed misses
+    val recall = Similarity.ivfRecall(df, k = 5, nCentroids = 15, nprobe = 4)
+      .head()
+    val permille = recall.getAs[Int]("recall_permille")
+    assert(permille >= 900, s"IVF recall $permille‰ < 900‰")
+  }
+
+  test("IVF: candidate volume is bounded by nprobe/nCentroids, not all-pairs") {
+    val df = clustered()
+    val n = NClusters * PerCluster
+    val top = Similarity.ivfTopK(df, k = n, nCentroids = 15, nprobe = 2)
+    // every emitted pair is (probe cell ∋ query) × (home cell member):
+    // with 2 probes over 15 cells the candidate set must sit well under
+    // the all-pairs cross product (each query sees ~2/15 of the corpus)
+    val cand = top.count()
+    assert(cand < n.toLong * (n - 1) / 4, s"IVF candidates $cand not sub-quadratic")
+  }
+
   test("lshTopK output is a subset of candidate-pair cosines with correct ranks") {
     val df = clustered()
     val top = Similarity.lshTopK(df, k = 3, nBits = 16, nTables = 8, dim = Dim)
