@@ -50,7 +50,7 @@ object ConnectedComponents {
     * identical to `run` (asserted against the same oracle in
     * ConnectedComponentsSpec).
     */
-  private[canonicalize] def localUnionFind(
+  private[graft] def localUnionFind(
       edges: Seq[(String, String)]): Map[String, String] = {
     val parent = scala.collection.mutable.Map[String, String]()
     def find(x: String): String = {
