@@ -295,9 +295,19 @@ object Bench {
     val (inputDir, warmDir) = prepareInput(sfDir, repl)
 
     killStray()
-    def measure(l: Int, runs: Int): LevelResult =
+    def measureOnce(l: Int, runs: Int): LevelResult =
       if (mode == "cluster") measureLevelCluster(l, inputDir, warmDir, runs)
       else measureLevelLocal(l, inputDir, warmDir, runs)
+    // one retry per measurement: a transient child failure (noisy-host OOM,
+    // port clash) must not zero the whole unattended record run
+    def measure(l: Int, runs: Int): LevelResult =
+      try measureOnce(l, runs) catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[bench] level $l failed (${String.valueOf(e.getMessage).take(300)}); retrying once")
+          killStray()
+          measureOnce(l, runs)
+      }
     def withMaster[T](f: => T): T =
       if (mode == "cluster") {
         val master = startMaster()
