@@ -174,8 +174,11 @@ object Bench {
         "--work-dir", s"$ShmRoot/work/w$idx", MasterUrl))
 
   private def killStray(): Unit = {
-    // executors are worker children; make teardown absolute
-    Seq("pkill", "-9", "-f", "CoarseGrainedExecutorBackend").!
+    // executors are worker children; make teardown absolute — but scoped to
+    // THIS bench's workers (their --worker-url carries the bench's 41xxx
+    // port range), not every Spark executor on the host (ADVICE r2)
+    Seq("pkill", "-9", "-f",
+      "CoarseGrainedExecutorBackend.*spark://Worker@127.0.0.1:41").!
     ()
   }
 
@@ -386,11 +389,14 @@ object Bench {
     }.toMap
     // per-pair transparency: every paired ratio on the record
     val pairKeys = cyclePairs.zipWithIndex.flatMap { case (e, i) =>
-      Seq(s"eff_pair${i + 1}" -> e, s"eff_wall_pair${i + 1}" -> wallPairs(i))
+      Seq(s"eff_cycle_pair${i + 1}" -> e, s"eff_wall_pair${i + 1}" -> wallPairs(i))
     }.toMap
+    // The PLAIN scaling_efficiency key is the measured WALL ratio (ADVICE
+    // r2: a consumer reading the key alone must see the measured number);
+    // the clock-probe-normalized value is emitted under an explicit name.
     val qs = (perLevel ++ pairKeys ++ Map(
-      "scaling_efficiency" -> effLow,
-      "scaling_efficiency_wall" -> effLowWall,
+      "scaling_efficiency" -> effLowWall,
+      "scaling_efficiency_cycle_norm" -> effLow,
       "clock_ratio_1_4" -> clockLow,
       // per-thread memory-bandwidth ratio 1→4 (median of in-window pairs):
       // hardware evidence, not a correction — one socket, one L3/memory
@@ -398,8 +404,8 @@ object Bench {
       "membw_ratio_1_4" -> med(memPairs),
       "canonical_triples" -> n.toDouble,
       "runs_per_level" -> runsPerLevel.toDouble) ++
-      effHigh.map(e => "scaling_efficiency_hi" -> e).toMap ++
-      effHighWall.map(e => "scaling_efficiency_hi_wall" -> e).toMap)
+      effHighWall.map(e => "scaling_efficiency_hi" -> e).toMap ++
+      effHigh.map(e => "scaling_efficiency_hi_cycle_norm" -> e).toMap)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val modeDesc =
@@ -408,9 +414,9 @@ object Bench {
     val pairDesc =
       (if (cpus >= 8) s"1 vs 4 cores (headline) and ${cpus / 4} vs $cpus (scaling_efficiency_hi; one shared memory bus/LLC)"
        else "1 vs 4 cores") +
-        s"; headline = median of $runsPerLevel INTERLEAVED 1-core/4-core pairs (each ratio inside one host-noise window; per-pair ratios emitted as eff_pair*)"
+        s"; headline = median of $runsPerLevel INTERLEAVED 1-core/4-core pairs (each ratio inside one host-noise window; per-pair ratios emitted as eff_wall_pair*/eff_cycle_pair*)"
     println(
-      s"""{"metric":"end-to-end triples/sec (extract->link->canonicalize->materialize), $modeDesc, median-of-$runsPerLevel per level, scaling $pairDesc; scaling_efficiency is cycle-normalized by the in-run per-core ALU clock probe (clock ratio ${f"$clockLow%.2f"}x this run; a real N->4N cluster adds machines at identical clocks), raw wall ratio emitted as scaling_efficiency_wall; in-run probes emitted per level (alu=clock, mem=streaming bandwidth) show where the single shared L3/memory system caps string-dataflow wall scaling on this one-socket box (BASELINE.md has the full measured diagnosis: pure-compute Spark scales 0.91 here, the capped resource is per-node on a real cluster)","value":${f"$tpsTop%.2f"},"unit":"triples/sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"end-to-end triples/sec (extract->link->canonicalize->materialize), $modeDesc, median-of-$runsPerLevel per level, scaling $pairDesc; scaling_efficiency is the MEASURED WALL ratio; the in-run per-core ALU clock probe's normalized value (clock ratio ${f"$clockLow%.2f"}x this run; a real N->4N cluster adds machines at identical clocks) is emitted separately as scaling_efficiency_cycle_norm; in-run probes emitted per level (alu=clock, mem=streaming bandwidth) show where the single shared L3/memory system caps string-dataflow wall scaling on this one-socket box (BASELINE.md has the full measured diagnosis: pure-compute Spark scales 0.91 here, the capped resource is per-node on a real cluster)","value":${f"$tpsTop%.2f"},"unit":"triples/sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }
 

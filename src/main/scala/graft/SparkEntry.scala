@@ -746,7 +746,7 @@ object SparkEntry {
 
     "kg_segments" -> OracleSql.withCtes()(
       """SELECT conv_id, turn_idx,
-        |       CAST(SUM(CASE WHEN contains(lower(text), 'opening') THEN 1 ELSE 0 END)
+        |       CAST(SUM(CASE WHEN regexp_matches(lower(text), '\bopening\b') THEN 1 ELSE 0 END)
         |            OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS seg_id
         |FROM transcripts ORDER BY conv_id, turn_idx""".stripMargin),
 
@@ -760,7 +760,7 @@ object SparkEntry {
         |  FROM (SELECT lp.conv_id, lp.turn_idx, lp.persoon_id AS speaker, t.seg_id
         |        FROM linked_persons lp
         |        JOIN (SELECT conv_id, turn_idx,
-        |                     CAST(SUM(CASE WHEN contains(lower(text), 'opening')
+        |                     CAST(SUM(CASE WHEN regexp_matches(lower(text), '\bopening\b')
         |                              THEN 1 ELSE 0 END)
         |                          OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT)
         |                       AS seg_id

@@ -104,23 +104,22 @@ object Canonicalize {
       localMaxEdges: Int = 2000000): (DataFrame, Boolean) = {
     val spark = linkedPersons.sparkSession
     val edges = surfaceEdges(linkedPersons)
-    val collected = edges.limit(localMaxEdges + 1).collect()
-    if (collected.length > localMaxEdges) {
-      val m = canonicalMap(ConnectedComponents.run(edges))
-        .where(col("node").startsWith("persoon:"))
-      (m, !m.where(col("node") =!= col("canon")).isEmpty)
-    } else {
-      val comps = ConnectedComponents.localUnionFind(
-        collected.map(r => (r.getString(0), r.getString(1))).toSeq)
-      val canon = comps.groupBy(_._2).iterator.flatMap { case (_, members) =>
-        val ms = members.map(_._1)
-        val rep = ms.filter(_.startsWith("persoon:")).minOption.getOrElse(ms.min)
-        ms.iterator.map(_ -> rep)
-      }.toSeq
-      val persoonRows = canon.filter(_._1.startsWith("persoon:"))
-      import spark.implicits._
-      (persoonRows.toDF("node", "canon"),
-        persoonRows.exists { case (n, c) => n != c })
+    ConnectedComponents.collectIfSmall(edges, localMaxEdges) match {
+      case None =>
+        val m = canonicalMap(ConnectedComponents.run(edges))
+          .where(col("node").startsWith("persoon:"))
+        (m, !m.where(col("node") =!= col("canon")).isEmpty)
+      case Some(collected) =>
+        val comps = ConnectedComponents.localUnionFind(collected.toSeq)
+        val canon = comps.groupBy(_._2).iterator.flatMap { case (_, members) =>
+          val ms = members.map(_._1)
+          val rep = ms.filter(_.startsWith("persoon:")).minOption.getOrElse(ms.min)
+          ms.iterator.map(_ -> rep)
+        }.toSeq
+        val persoonRows = canon.filter(_._1.startsWith("persoon:"))
+        import spark.implicits._
+        (persoonRows.toDF("node", "canon"),
+          persoonRows.exists { case (n, c) => n != c })
     }
   }
 

@@ -34,32 +34,57 @@ object ConnectedComponents {
     */
   def auto(edges: DataFrame, localMaxEdges: Int = 2000000): DataFrame = {
     val spark = edges.sparkSession
+    collectIfSmall(edges, localMaxEdges) match {
+      case None => run(edges)
+      case Some(es) =>
+        import spark.implicits._
+        localUnionFind(es.toSeq).toSeq.toDF("node", "component")
+    }
+  }
+
+  /** The ONE collect-threshold policy (shared by `auto` and
+    * Canonicalize.persoonCanonWithFlag — ADVICE r2: two inlined copies
+    * drift): normalize + dedup the edges, collect them if they fit under
+    * `localMaxEdges`, else None (caller runs the distributed loop).
+    */
+  private[graft] def collectIfSmall(edges: DataFrame,
+      localMaxEdges: Int): Option[Array[(String, String)]] = {
     val e = edges.select(col("u").cast("string"), col("v").cast("string"))
       .where(col("u") =!= col("v"))
       .distinct()
     val collected = e.limit(localMaxEdges + 1).collect()
-    if (collected.length > localMaxEdges) run(e)
-    else {
-      import spark.implicits._
-      localUnionFind(collected.map(r => (r.getString(0), r.getString(1))))
-        .toSeq.toDF("node", "component")
-    }
+    if (collected.length > localMaxEdges) None
+    else Some(collected.map(r => (r.getString(0), r.getString(1))))
   }
 
   /** Driver-side union-find with min-node component labels — semantics
     * identical to `run` (asserted against the same oracle in
-    * ConnectedComponentsSpec).
+    * ConnectedComponentsSpec). `find` is ITERATIVE (walk to root, second
+    * pass compresses) and union is BY SIZE: chain-ordered edge lists
+    * (a1-a2, a2-a3, …) otherwise build an O(N) parent chain whose recursive
+    * traversal overflows the driver stack well below the 2M-edge collect
+    * threshold (ADVICE r2) — exercised by a 200k-edge chain in
+    * ConnectedComponentsSpec.
     */
   private[graft] def localUnionFind(
       edges: Seq[(String, String)]): Map[String, String] = {
     val parent = scala.collection.mutable.Map[String, String]()
+    val size = scala.collection.mutable.Map[String, Int]()
     def find(x: String): String = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+      var r = parent.getOrElseUpdate(x, x)
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val next = parent(c); parent(c) = r; c = next }
+      r
     }
     edges.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(ra) = rb
+      if (ra != rb) {
+        val (sa, sb) = (size.getOrElse(ra, 1), size.getOrElse(rb, 1))
+        val (small, big) = if (sa < sb) (ra, rb) else (rb, ra)
+        parent(small) = big
+        size(big) = sa + sb
+      }
     }
     val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
     nodes.groupBy(find).iterator.flatMap { case (_, ns) =>

@@ -39,12 +39,16 @@ object Extract {
     * marker (transcript-domain stand-in for the reference's activiteit
     * container). Adds `seg_id`. Requires one shuffle on conv_id — the same
     * partitioning every later per-conversation stage reuses.
+    *
+    * Word-boundary anchored like `isProcedural` (VERDICT r2): a real-corpus
+    * token such as "heropening" must not open a phantom segment. \b is
+    * RE2-safe, so the identical pattern runs in the DuckDB oracle.
     */
   def withSegments(turns: DataFrame): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy("turn_idx")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     turns.withColumn("seg_id",
-      sum(when(lower(col("text")).contains("opening"), 1).otherwise(0)).over(w))
+      sum(when(lower(col("text")).rlike("\\bopening\\b"), 1).otherwise(0)).over(w))
   }
 
   /** Speaker mentions: four surface patterns (≈ the reference's two XML

