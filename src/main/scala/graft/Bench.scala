@@ -482,9 +482,13 @@ object BenchChild {
           .filter(_ == "1").map(_ => s"${Bench.ShmRoot}/stage-${System.nanoTime()}")))
     // one-pass graph write: the canonical triple plan executes exactly once,
     // straight into the edge table (no checkpoint blocks, no dedup exchange
-    // — the canonical set is distinct by construction, no count pass)
+    // — the canonical set is distinct by construction, no count pass).
+    // 64 buckets (identical at every level): enough single-bucket write
+    // tasks to feed 32 cores while total file count stays fixed per level
+    // — file count must NOT scale with cores (see Materialize.alignedForWrite)
     val (n, tWrite) = timed(graft.materialize.Materialize.writeGraphInitial(
-      spark, wh, stages.canonical, triplesDistinct = true))
+      spark, wh, stages.canonical, triplesDistinct = true,
+      nBuckets = sys.env.getOrElse("SPARK_GRAFT_NBUCKETS", "64").toInt))
     val total = (System.nanoTime() - tStart) / 1e9
     System.err.println(f"TASKTIME ${taskMs.get / 1000.0}%.2f wall $total%.2f")
     (n, total, tBuild, tWrite)

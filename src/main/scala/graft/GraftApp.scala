@@ -34,8 +34,16 @@ object GraftApp {
     val sfDir = opts.getOrElse("sf-dir", "/root/testdata/sf0.001")
     val warehouse = opts.getOrElse("warehouse", "graft-warehouse")
     val lineage = opts.getOrElse("lineage", s"$warehouse/lineage")
-    val runId = opts.getOrElse("run-id", System.currentTimeMillis().toString)
+    // pid suffix: two concurrent launches must not collide in lineage
+    val runId = opts.getOrElse("run-id",
+      s"${System.currentTimeMillis()}-${ProcessHandle.current().pid()}")
     val resume = opts.contains("resume") && !opts.contains("overwrite")
+    // config snapshot: resuming under a different dictionary/bucketing would
+    // silently mix outputs — refuse instead (reference main.py:74-87)
+    val cfgHash = Checkpoint.configHash(
+      "dict" -> graft.synth.Dict.Version,
+      "nbuckets" -> Materialize.NBuckets.toString,
+      "conv-buckets" -> Checkpoint.DefaultBuckets.toString)
 
     val builder = SparkSession.builder().appName("graft-kg")
       .config("spark.sql.session.timeZone", "UTC")
@@ -52,12 +60,14 @@ object GraftApp {
       .map(spark.read.parquet(_))
       .getOrElse(TranscriptGen.transcripts(spark, sfDir))
 
-    // resume: drop conversation buckets already recorded for this stage
+    // resume: drop conversation buckets already recorded for this stage —
+    // after validating the lineage was written under a compatible config
     val turns =
-      if (resume)
+      if (resume) {
+        Checkpoint.requireCompatible(spark, lineage, "pipeline", cfgHash)
         Checkpoint.filterUnprocessed(allTurns,
           Checkpoint.processedBuckets(spark, lineage, "pipeline"), "conv_id")
-      else allTurns
+      } else allTurns
 
     val stages = Pipeline.build(spark, turns,
       linkStagingDir = opts.get("staging").filter(_.nonEmpty))
@@ -67,7 +77,8 @@ object GraftApp {
     val nTriples = canonical.count()
 
     Materialize.writeGraph(spark, warehouse, canonical, triplesDistinct = true)
-    Checkpoint.recordProcessed(spark, lineage, runId, "pipeline", turns, "conv_id")
+    Checkpoint.recordProcessed(spark, lineage, runId, "pipeline", turns, "conv_id",
+      configHash = cfgHash)
 
     // link counters: one tiny aggregate over the CHECKPOINTED link output —
     // reads cached blocks, no recompute of extract+link. (An observe() on

@@ -380,12 +380,43 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx", "att_id")
     }),
 
+    // S2 deep: TWO-LEVEL nested child collections (attachment → chunks)
+    // flattened with explode_outer at both levels — the reference's
+    // nevenfunctie→inkomsten nested-in-nested shape
+    "kg_nested_deep" -> ((s, dir) => {
+      graft.extract.Expand.flattenChunks(
+        graft.extract.Expand.withAttachments(turns(s, dir)))
+        .orderBy("conv_id", "turn_idx", "att_id", "seq")
+    }),
+
     // REL_MAP-declarative edge extraction over the expanded turn entity
+    // (incl. the childArray2 two-level attachment→chunk spec)
     "kg_relmap_edges" -> ((s, dir) => {
       graft.triples.RelMap.edges(
         graft.extract.Expand.withAttachments(turns(s, dir)),
         graft.triples.RelMap.TurnRels)
         .orderBy("subj", "pred", "obj")
+    }),
+
+    // A11/ProcessingStatistics: link attempt/match counters with the
+    // reference's denominator semantics (attempts = ALL mentions, padded
+    // NO_MATCH rows included — models.py:186-210, vlos_pipeline.py:150-160)
+    "kg_match_stats" -> ((s, dir) => {
+      import graft.model.MatchType
+      Link.linkPersonsWithNoMatch(
+          Extract.speakerMentions(turns(s, dir)), Dict.personsDf(s))
+        .agg(
+          count(lit(1)).as("attempts"),
+          sum(when(col("match_type") =!= MatchType.NoMatch, 1L).otherwise(0L))
+            .as("matches"),
+          sum(when(col("match_type") === MatchType.Exact, 1L).otherwise(0L))
+            .as("exact_matches"),
+          sum(when(col("match_type") === MatchType.Fuzzy, 1L).otherwise(0L))
+            .as("fuzzy_matches"),
+          sum(when(col("match_type") === MatchType.NoMatch, 1L).otherwise(0L))
+            .as("no_matches"))
+        .withColumn("match_rate_permille",
+          floor(col("matches") * 1000 / col("attempts")).cast("int"))
     }),
 
     // J2: actor-priority candidate tier ahead of the global dictionary
@@ -714,9 +745,29 @@ object SparkEntry {
       """SELECT conv_id, turn_idx, role, tool, att_id, kind, size_bytes
         |FROM att_exp ORDER BY conv_id, turn_idx, att_id""".stripMargin),
 
+    "kg_nested_deep" -> OracleSql.withCtes(
+      OracleSql.attachmentsCte, OracleSql.attachmentChunksCte)(
+      """SELECT conv_id, turn_idx, att_id, size_bytes, chunk_id, seq, chunk_bytes
+        |FROM att_chunks ORDER BY conv_id, turn_idx, att_id, seq""".stripMargin),
+
     "kg_relmap_edges" -> OracleSql.withCtes(
-      OracleSql.attachmentsCte, OracleSql.relmapEdgesCte)(
+      OracleSql.attachmentsCte, OracleSql.attachmentChunksCte,
+      OracleSql.relmapEdgesCte)(
       "SELECT subj, pred, obj FROM relmap_edges ORDER BY subj, pred, obj"),
+
+    "kg_match_stats" -> OracleSql.withCtes(
+      OracleSql.speakerMentionsCte, OracleSql.linkPersonsCte)(
+      """SELECT attempts, matches, exact_matches, fuzzy_matches, no_matches,
+        |       CAST(FLOOR(matches * 1000 / attempts) AS INT) AS match_rate_permille
+        |FROM (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS attempts,
+        |         CAST(SUM(CASE WHEN lp.match_type IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+        |         CAST(SUM(CASE WHEN lp.match_type = 'EXACT' THEN 1 ELSE 0 END) AS BIGINT) AS exact_matches,
+        |         CAST(SUM(CASE WHEN lp.match_type = 'FUZZY' THEN 1 ELSE 0 END) AS BIGINT) AS fuzzy_matches,
+        |         CAST(SUM(CASE WHEN lp.match_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS no_matches
+        |  FROM speaker_mentions sm
+        |  LEFT JOIN linked_persons lp
+        |    USING (conv_id, turn_idx, v_first, v_last))""".stripMargin),
 
     "kg_link_persons_priority" -> OracleSql.withCtes(
       Dict.personsExtSql, OracleSql.speakerMentionsCte,

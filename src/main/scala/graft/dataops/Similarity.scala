@@ -157,12 +157,10 @@ object Similarity {
 
   // ---------------------------------------------------------------- IVF ----
 
-  /** Deterministic coarse centroids for the IVF path: the `nCentroids`
-    * vectors with the smallest `(h32(vec_id), vec_id)` — a seeded stand-in
-    * for the sampled k-means job that produces real IVF centroids at 100 TB.
-    * Either way the centroid table is tiny (k ≪ n) and broadcast; the cell
-    * assignment and probe-bounded search in `ivfTopK` are the actual scale
-    * plan and don't care where the centroids came from.
+  /** Deterministic SEED centroids for the k-means job: the `nCentroids`
+    * vectors with the smallest `(h32(vec_id), vec_id)` — a seeded sample
+    * (at 100 TB: k-means|| seeding over a corpus sample; any deterministic
+    * seed rule works, the Lloyd iterations do the fitting).
     */
   def ivfCentroids(embeddings: DataFrame, nCentroids: Int): DataFrame =
     prep(embeddings)
@@ -170,6 +168,47 @@ object Similarity {
       .orderBy(col("h"), col("vec_id"))
       .limit(nCentroids)
       .select(col("vec_id").as("centroid_id"), col("emb").as("cemb"))
+
+  /** Coarse centroids via Lloyd's k-means iterations from the seeded start —
+    * the real IVF quantizer. Each iteration: assign every vector to its
+    * nearest centroid (fixed-point cosine, tie → centroid_id — identical to
+    * the probe ranking), then recompute each centroid as the component-wise
+    * mean of its members in EXACT arithmetic: components are quantized to
+    * 1e-6 fixed point (long), summed (exact + order-insensitive, so the
+    * distributed aggregation is deterministic), floor-divided by the member
+    * count, and de-quantized. Every step is IEEE-identical in DuckDB, so
+    * the learned centroids — and therefore the whole approximate result —
+    * stay inside the hash-compare gate (DataOpsSql.annIvfTopKCte mirrors
+    * the unrolled iterations).
+    *
+    * Scale: per iteration one broadcast of k centroids, one narrow
+    * assignment pass, one (centroid, component) aggregation of k·dim rows —
+    * no corpus shuffle. Cells that lose all members drop out (standard
+    * Lloyd behavior; k can only shrink).
+    */
+  def kmeansCentroids(embeddings: DataFrame, nCentroids: Int,
+      iters: Int = 2): DataFrame = {
+    val p = prep(embeddings)
+    var cent = ivfCentroids(embeddings, nCentroids)
+    (1 to iters).foreach { _ =>
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("centroid_id").asc)
+      val assigned = p.crossJoin(broadcast(cent))
+        .withColumn("ccos", floor(cosine(col("emb"), col("cemb")) * 1e6).cast("long"))
+        .withColumn("crank", row_number().over(w))
+        .where(col("crank") === 1)
+        .select(col("centroid_id"), col("emb"))
+      val quant = assigned.select(col("centroid_id"),
+        posexplode(transform(col("emb"), x => floor(x * 1e6).cast("long"))))
+      cent = quant.groupBy("centroid_id", "pos")
+        .agg(floor(sum(col("col")) / count(lit(1))).cast("long").as("mq"))
+        .groupBy("centroid_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mq")))),
+          s => s.getField("mq") / lit(1e6)).as("cemb"))
+    }
+    cent
+  }
 
   /** (vec_id, emb, cell, crank): every vector scored against every centroid
     * (k small, broadcast — n·k narrow rows, no shuffle), ranked per vector
@@ -195,8 +234,9 @@ object Similarity {
     * has exactly ONE home cell), so no dedup exchange is needed.
     */
   def ivfTopK(embeddings: DataFrame, k: Int = 5, nCentroids: Int = 16,
-      nprobe: Int = 4): DataFrame = {
-    val ranked0 = cellRanked(embeddings, ivfCentroids(embeddings, nCentroids))
+      nprobe: Int = 4, kmeansIters: Int = 2): DataFrame = {
+    val ranked0 = cellRanked(embeddings,
+      kmeansCentroids(embeddings, nCentroids, kmeansIters))
     val homes = ranked0.where(col("crank") === 1)
       .select(col("vec_id").as("neighbor_id"), col("emb").as("emb_r"), col("cell"))
     val probes = ranked0.where(col("crank") <= nprobe)
@@ -210,6 +250,7 @@ object Similarity {
 
   /** Measured recall@k of the IVF result vs the exact baseline (one row). */
   def ivfRecall(embeddings: DataFrame, k: Int = 5, nCentroids: Int = 16,
-      nprobe: Int = 4): DataFrame =
-    recallVsExact(embeddings, ivfTopK(embeddings, k, nCentroids, nprobe), k)
+      nprobe: Int = 4, kmeansIters: Int = 2): DataFrame =
+    recallVsExact(embeddings,
+      ivfTopK(embeddings, k, nCentroids, nprobe, kmeansIters), k)
 }

@@ -51,12 +51,21 @@ object Extract {
       sum(when(lower(col("text")).rlike("\\bopening\\b"), 1).otherwise(0)).over(w))
   }
 
-  /** Speaker mentions: four surface patterns (≈ the reference's two XML
-    * speaker sources, draadboekfragment + bare spreker, xml_extractor.py:124-191).
-    * Output: (conv_id, turn_idx, ts, kind, v_first, v_last) with v_first = ''
-    * when the surface form carries no first name.
+  /** ONE-PASS extraction of every mention type (speaker, case, vote) from a
+    * single scan of the turns table. At 10^12 turns the raw scan + regex
+    * evaluation IS the extract cost; running speaker/case/vote extraction
+    * as three separate scans (round-2 shape) tripled it — the pipeline now
+    * computes this wide form once (checkpointed/staged by `Pipeline.build`)
+    * and the per-type extractors are cheap filtered projections of it. The
+    * three public extractors below are thin wrappers, so oracle queries and
+    * the pipeline share one source of truth.
+    *
+    * Output: one row per turn carrying at least one mention, with validity
+    * flags (is_speaker/is_case/is_vote) and the typed fields of each kind.
+    * NOTE: a single turn can carry several mention kinds — the flags are
+    * independent, not a partition.
     */
-  def speakerMentions(turns: DataFrame): DataFrame = {
+  def mentionsWide(turns: DataFrame): DataFrame = {
     val t = col("text")
     // Each regex is evaluated into a named column exactly once; later
     // expressions reference the attribute. Building the `when`-chains over
@@ -72,7 +81,6 @@ object Extract {
           .when(col("m_spreekt") =!= "", "spreekt")
           .when(col("m_inter") =!= "", "interrumpeert")
           .when(col("m_reactie") =!= "", "reactie"))
-      .where(col("kind").isNotNull)
       .withColumn("m_full",
         when(col("m_woord") =!= "", col("m_woord")).otherwise(col("m_reactie")))
       .withColumn("v_first",
@@ -81,11 +89,54 @@ object Extract {
       .withColumn("v_last",
         when(col("m_full") =!= "", regexp_extract(col("m_full"), "^\\S+ (.+)$", 1))
           .otherwise(when(col("m_spreekt") =!= "", col("m_spreekt")).otherwise(col("m_inter"))))
+      .withColumn("dossier_code", regexp_extract(t, "dossier (\\d+(?:-[A-Za-z0-9]+)?)", 1))
+      .withColumn("m_stuk", regexp_extract(t, "nr\\. (\\d+)", 1))
+      .withColumn("fractie_naam", regexp_extract(t, "^De fractie (.+) stemt ", 1))
+      .withColumn("vote_norm",
+        TextFunctions.normalizeVote(regexp_extract(t, " stemt (voor|tegen|onthouding)$", 1)))
       // mention validity (P5): a speaker mention needs a surname
-      // (reference xml_extractor.py:144, 171)
-      .where(col("v_last") =!= "")
-      .select("conv_id", "turn_idx", "ts", "kind", "v_first", "v_last")
+      // (reference xml_extractor.py:144, 171); a case mention a dossier code
+      .withColumn("is_speaker", col("kind").isNotNull && col("v_last") =!= "")
+      .withColumn("is_case", col("dossier_code") =!= "")
+      .withColumn("is_vote", col("fractie_naam") =!= "" && col("vote_norm") =!= "")
+      .where(col("is_speaker") || col("is_case") || col("is_vote"))
+      .select(
+        col("conv_id"), col("turn_idx"), col("ts"),
+        col("is_speaker"), col("kind"), col("v_first"), col("v_last"),
+        col("is_case"),
+        // guarded by the flag: dossierNumber's int cast is ANSI-strict and
+        // must not see the empty code of speaker/vote-only rows
+        when(col("is_case"),
+          TextFunctions.dossierNumber(col("dossier_code"))).as("dossier_nr"),
+        when(col("is_case"),
+          TextFunctions.dossierToevoeging(col("dossier_code"))).as("toevoeging"),
+        when(col("m_stuk") =!= "", col("m_stuk").cast("int")).as("stuk_nr"),
+        col("is_vote"), col("fractie_naam"), col("vote_norm"))
   }
+
+  /** Speaker-mention view of the wide form (same rows/columns as round-2's
+    * standalone extractor — reference speaker sources xml_extractor.py:124-191).
+    */
+  def speakersFrom(wide: DataFrame): DataFrame =
+    wide.where(col("is_speaker"))
+      .select("conv_id", "turn_idx", "ts", "kind", "v_first", "v_last")
+
+  /** Case-mention view (reference xml_extractor.py:194-217). */
+  def casesFrom(wide: DataFrame): DataFrame =
+    wide.where(col("is_case"))
+      .select("conv_id", "turn_idx", "ts", "dossier_nr", "toevoeging", "stuk_nr")
+
+  /** Vote-utterance view (reference xml_extractor.py:219-257). */
+  def votesFrom(wide: DataFrame): DataFrame =
+    wide.where(col("is_vote"))
+      .select("conv_id", "turn_idx", "ts", "fractie_naam", "vote_norm")
+
+  /** Speaker mentions: four surface patterns. Output: (conv_id, turn_idx,
+    * ts, kind, v_first, v_last) with v_first = '' when the surface form
+    * carries no first name.
+    */
+  def speakerMentions(turns: DataFrame): DataFrame =
+    speakersFrom(mentionsWide(turns))
 
   /** First-seen dedup of identical speaker mentions within a conversation —
     * reference seen_speakers set keyed voornaam|achternaam (xml_extractor.py:122-148).
@@ -99,30 +150,12 @@ object Extract {
     * reference xml_extractor.py:194-217 + dossier-code regex api_extractor.py:304-312.
     * Validity: mention must carry a dossier number (P5 analogue).
     */
-  def caseMentions(turns: DataFrame): DataFrame = {
-    val t = col("text")
-    val code = regexp_extract(t, "dossier (\\d+(?:-[A-Za-z0-9]+)?)", 1)
-    val stuk = regexp_extract(t, "nr\\. (\\d+)", 1)
-    nonProcedural(turns)
-      .withColumn("dossier_code", code)
-      .where(col("dossier_code") =!= "")
-      .select(
-        col("conv_id"), col("turn_idx"), col("ts"),
-        TextFunctions.dossierNumber(col("dossier_code")).as("dossier_nr"),
-        TextFunctions.dossierToevoeging(col("dossier_code")).as("toevoeging"),
-        when(stuk =!= "", stuk.cast("int")).as("stuk_nr"))
-  }
+  def caseMentions(turns: DataFrame): DataFrame =
+    casesFrom(mentionsWide(turns))
 
   /** Fractie vote utterances → normalized votes —
     * reference xml_extractor.py:219-257 (+ vote normalization :244).
     */
-  def voteMentions(turns: DataFrame): DataFrame = {
-    val t = col("text")
-    nonProcedural(turns)
-      .withColumn("fractie_naam", regexp_extract(t, "^De fractie (.+) stemt ", 1))
-      .withColumn("vote_norm",
-        TextFunctions.normalizeVote(regexp_extract(t, " stemt (voor|tegen|onthouding)$", 1)))
-      .where(col("fractie_naam") =!= "" && col("vote_norm") =!= "")
-      .select("conv_id", "turn_idx", "ts", "fractie_naam", "vote_norm")
-  }
+  def voteMentions(turns: DataFrame): DataFrame =
+    votesFrom(mentionsWide(turns))
 }

@@ -122,6 +122,23 @@ object Materialize {
     }
   }
 
+  /** Cores-independent write fan-out: hash-repartition on (bucket, a stable
+    * sub-split) so a partitioned write emits `nBuckets × filesPerBucket`
+    * files REGARDLESS of task parallelism. Without this the dynamic-
+    * partition write emits (tasks × buckets) files — at 32 cores with 128
+    * input partitions that is 2048 tiny parquet files, and the per-file
+    * open/footer/commit CPU grows linearly with core count (measured on the
+    * bench input: the node write cost 7.5 CPU-s at 8 cores vs 126 CPU-s at
+    * 32 on identical rows) — a direct anti-scaling term. `filesPerBucket`
+    * sizes per-bucket write parallelism at warehouse scale; the sub-split
+    * hashes the full key with a seed literal so it stays independent of the
+    * bucket's own low bits.
+    */
+  private def alignedForWrite(df: DataFrame, subKey: org.apache.spark.sql.Column,
+      nBuckets: Int, filesPerBucket: Int): DataFrame =
+    df.repartition(nBuckets * filesPerBucket, col("bucket"),
+      pmod(xxhash64(subKey, lit(7)), lit(filesPerBucket)))
+
   /** Idempotent partition-level upsert of `updates` into the parquet table at
     * `path`, keyed by `keyCols`, bucketed on `bucketCol`. Only buckets present
     * in `updates` are rewritten; within a rewritten bucket, update rows win
@@ -142,12 +159,15 @@ object Materialize {
     *    `MERGE INTO` (documented seam, object Scaladoc).
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
-      keyCols: Seq[String], bucketCol: String, nBuckets: Int = NBuckets): Unit = {
+      keyCols: Seq[String], bucketCol: String, nBuckets: Int = NBuckets,
+      filesPerBucket: Int = 1): Unit = {
+    val subKey = xxhash64(keyCols.map(col): _*)
     val withBucket = updates
       .withColumn("bucket", pmod(xxhash64(col(bucketCol)), lit(nBuckets)).cast("int"))
       .dropDuplicates(keyCols)
     if (!exists(spark, path)) {
-      withBucket.write.partitionBy("bucket").mode(SaveMode.ErrorIfExists).parquet(path)
+      alignedForWrite(withBucket, subKey, nBuckets, filesPerBucket)
+        .write.partitionBy("bucket").mode(SaveMode.ErrorIfExists).parquet(path)
       writeBucketMeta(spark, path, nBuckets)
     } else {
       readBucketMeta(spark, path).foreach { m =>
@@ -178,7 +198,8 @@ object Materialize {
           .drop("_rank", "_rn")
         // stage the merge, then overwrite: the overwrite job reads only the
         // staging table, never the files it replaces
-        merged.write.partitionBy("bucket").parquet(s"$staging/merged")
+        alignedForWrite(merged, subKey, nBuckets, filesPerBucket)
+          .write.partitionBy("bucket").parquet(s"$staging/merged")
         spark.read.parquet(s"$staging/merged").write
           .partitionBy("bucket")
           .option("partitionOverwriteMode", "dynamic")
@@ -216,21 +237,23 @@ object Materialize {
     */
   def writeGraphInitial(spark: SparkSession, warehouse: String,
       triples: DataFrame, triplesDistinct: Boolean = true,
-      nBuckets: Int = NBuckets): Long = {
+      nBuckets: Int = NBuckets, filesPerBucket: Int = 1): Long = {
     val edgePath = s"$warehouse/edges"
     val e = edges(triples)
       .withColumn("bucket", pmod(xxhash64(col("src_key")), lit(nBuckets)).cast("int"))
     val eUnique =
       if (triplesDistinct) e
       else e.dropDuplicates(Seq("src_key", "rel_type", "dst_key"))
-    eUnique.write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(edgePath)
+    val subKey = xxhash64(col("src_key"), col("rel_type"), col("dst_key"))
+    alignedForWrite(eUnique, subKey, nBuckets, filesPerBucket)
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(edgePath)
     writeBucketMeta(spark, edgePath, nBuckets)
     val written = spark.read.parquet(edgePath)
     val keys = written.select(col("src_key").as("key"))
       .unionByName(written.select(col("dst_key").as("key")))
     upsert(spark, s"$warehouse/nodes",
       keys.select(substring_index(col("key"), ":", 1).as("label"), col("key")),
-      Seq("key"), "key", nBuckets)
+      Seq("key"), "key", nBuckets, filesPerBucket)
     written.count()
   }
 

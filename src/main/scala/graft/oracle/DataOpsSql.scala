@@ -210,24 +210,42 @@ object DataOpsSql {
        |  JOIN emb b ON c.neighbor_id = b.vec_id),
        |${topKSql("ann_topk", "ann_pairs", k)}""".stripMargin
 
-  /** IVF cells: hash-chosen deterministic centroids (mirrors
-    * Similarity.ivfCentroids), per-vector cell ranks by (cos desc,
-    * centroid_id), home cell = rank 1, probed cells = rank <= nprobe.
+  /** IVF cells: k-means centroids from seeded starts (mirrors
+    * Similarity.kmeansCentroids — 2 unrolled Lloyd iterations in exact
+    * 1e-6 fixed-point arithmetic, so both engines learn bit-identical
+    * centroids), per-vector cell ranks by (cos desc, centroid_id), home
+    * cell = rank 1, probed cells = rank <= nprobe.
     */
-  private def ivfCtes(nCentroids: Int, nprobe: Int): String =
+  private def ivfCtes(nCentroids: Int, nprobe: Int, dim: Int = 64): String = {
+    def rankOver(cent: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, e, cell, crank FROM (
+         |    SELECT v.vec_id, v.e, c.centroid_id AS cell,
+         |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(FLOOR(list_dot_product(v.e, c.ce) /
+         |                  (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce)))
+         |                  * 1000000) AS BIGINT) DESC, c.centroid_id) AS crank
+         |    FROM emb v CROSS JOIN $cent c))""".stripMargin
+    def lloydStep(prevCent: String, i: Int): String =
+      s"""${rankOver(prevCent, s"asg$i")},
+         |cm$i AS (
+         |  SELECT cell, i.idx AS idx,
+         |         CAST(FLOOR(SUM(CAST(FLOOR(e[CAST(i.idx + 1 AS INT)] * 1000000) AS BIGINT))
+         |              / COUNT(*)) AS BIGINT) AS mq
+         |  FROM (SELECT e, cell FROM asg$i WHERE crank = 1) a,
+         |       (SELECT range AS idx FROM range($dim)) i
+         |  GROUP BY cell, i.idx),
+         |cent$i AS (
+         |  SELECT cell AS centroid_id, list(mq / 1000000.0 ORDER BY idx) AS ce
+         |  FROM cm$i GROUP BY cell)""".stripMargin
     s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |ivf_cent AS (
+       |cent0 AS (
        |  SELECT vec_id AS centroid_id, e AS ce FROM emb
        |  ORDER BY ${graft.dataops.ContentHash.h32Sql("CAST(vec_id AS VARCHAR)")}, vec_id
        |  LIMIT $nCentroids),
-       |ivf_ranked AS (
-       |  SELECT vec_id, e, cell, crank FROM (
-       |    SELECT v.vec_id, v.e, c.centroid_id AS cell,
-       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-       |             CAST(FLOOR(list_dot_product(v.e, c.ce) /
-       |                  (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce)))
-       |                  * 1000000) AS BIGINT) DESC, c.centroid_id) AS crank
-       |    FROM emb v CROSS JOIN ivf_cent c)),
+       |${lloydStep("cent0", 1)},
+       |${lloydStep("cent1", 2)},
+       |${rankOver("cent2", "ivf_ranked")},
        |ivf_home AS (
        |  SELECT vec_id AS neighbor_id, e AS er, cell FROM ivf_ranked WHERE crank = 1),
        |ivf_probe AS (
@@ -239,6 +257,7 @@ object DataOpsSql {
        |              * 1000000) AS BIGINT) AS cos_1e6
        |  FROM ivf_probe p JOIN ivf_home h USING (cell)
        |  WHERE p.vec_id <> h.neighbor_id)""".stripMargin
+  }
 
   def annIvfTopKCte(k: Int, nCentroids: Int, nprobe: Int): String =
     s"""${ivfCtes(nCentroids, nprobe)},

@@ -246,12 +246,36 @@ object OracleSql {
        |  LEFT JOIN (SELECT range AS i FROM range($maxAtt)) r ON r.i < t.h % $maxAtt)""".stripMargin
   }
 
-  /** REL_MAP-driven edges over the expanded turn (mirrors RelMap.TurnRels). */
+  /** Second nesting level (mirrors the `chunks` array inside each
+    * attachment struct, Expand.withAttachments): `size_bytes % 2 + 1`
+    * chunks per attachment; attachment-less turns keep one all-null row
+    * (the double `explode_outer` shape).
+    */
+  val attachmentChunksCte: String = {
+    val maxChunks = graft.extract.Expand.MaxChunks
+    s"""att_chunks AS (
+       |  SELECT a.conv_id, a.turn_idx, a.att_id, a.size_bytes,
+       |         CASE WHEN c.s IS NOT NULL
+       |              THEN md5(a.att_id || '|' || CAST(c.s AS VARCHAR)) END AS chunk_id,
+       |         CASE WHEN c.s IS NOT NULL THEN CAST(c.s AS INT) END AS seq,
+       |         CASE WHEN c.s IS NOT NULL
+       |              THEN CAST((a.size_bytes + c.s * 13) % 4096 AS INT) END AS chunk_bytes
+       |  FROM att_exp a
+       |  LEFT JOIN (SELECT range AS s FROM range($maxChunks)) c
+       |    ON a.att_id IS NOT NULL AND c.s < a.size_bytes % $maxChunks + 1)""".stripMargin
+  }
+
+  /** REL_MAP-driven edges over the expanded turn (mirrors RelMap.TurnRels,
+    * incl. the two-level attachment→chunk spec).
+    */
   val relmapEdgesCte: String =
     s"""relmap_edges AS (
        |  SELECT 'turn:' || conv_id || ':' || CAST(turn_idx AS VARCHAR) AS subj,
        |         'HAS_ATTACHMENT' AS pred, 'attachment:' || att_id AS obj
        |  FROM att_exp WHERE att_id IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'attachment:' || att_id, 'HAS_CHUNK', 'chunk:' || chunk_id
+       |  FROM att_chunks WHERE chunk_id IS NOT NULL
        |  UNION ALL
        |  SELECT 'turn:' || conv_id || ':' || CAST(turn_idx AS VARCHAR),
        |         'USED_TOOL', 'tool:' || tool

@@ -42,23 +42,32 @@ object Pipeline {
   def build(spark: SparkSession, turns: DataFrame,
       observeLink: DataFrame => DataFrame = identity,
       linkStagingDir: Option[String] = None): Stages = {
-    // lazy localCheckpoint rather than cache(): same recompute-avoidance for
-    // the three consumers, PLUS it truncates the logical plan — downstream
-    // trees (triples union × 11 branches, rewrite joins) otherwise each
-    // carry the full extract+link subtree into Catalyst analysis/
-    // optimization on every action, which is serial driver time
-    val linkedRaw =
-      observeLink(Link.linkPersons(Extract.speakerMentions(turns), Dict.personsDf(spark)))
-    val linkedPersons = linkStagingDir match {
+    // The raw-turn scan + regex evaluation is the dominant extract cost at
+    // corpus scale — run it ONCE: the wide one-pass mention table
+    // (Extract.mentionsWide) is checkpointed/staged, and the speaker/case/
+    // vote branches are filtered projections of it. Round 2 re-scanned the
+    // turns parquet (with regexes) once per mention type per action — two
+    // full extra corpus passes inside the graph-write action.
+    def stage(df: DataFrame, name: String): DataFrame = linkStagingDir match {
       case Some(dir) =>
-        val path = s"$dir/linked_persons"
-        linkedRaw.write.mode("overwrite").parquet(path)
+        val path = s"$dir/$name"
+        df.write.mode("overwrite").parquet(path)
         spark.read.parquet(path)
-      case None => linkedRaw.localCheckpoint(false)
+      case None =>
+        // lazy localCheckpoint rather than cache(): same recompute-
+        // avoidance, PLUS it truncates the logical plan — downstream trees
+        // (triples union branches, rewrite joins) otherwise each carry the
+        // full extract subtree into Catalyst analysis/optimization on every
+        // action, which is serial driver time
+        df.localCheckpoint(false)
     }
-    val linkedZaken = Link.linkZaken(Extract.caseMentions(turns),
+    val wide = stage(Extract.mentionsWide(turns), "mentions")
+    val linkedRaw =
+      observeLink(Link.linkPersons(Extract.speakersFrom(wide), Dict.personsDf(spark)))
+    val linkedPersons = stage(linkedRaw, "linked_persons")
+    val linkedZaken = Link.linkZaken(Extract.casesFrom(wide),
       Dict.zakenDf(spark), Dict.dossiersDf(spark), Dict.documentsDf(spark))
-    val votes = Extract.voteMentions(turns)
+    val votes = Extract.votesFrom(wide)
     val triples = Triples.all(linkedPersons, linkedZaken, votes,
       Dict.personsDf(spark), Dict.fractiesDf(spark))
     // Scale-path canonicalization: CC over the surface-form graph (bounded

@@ -20,6 +20,12 @@ import graft.model.{Fractie, Person}
   */
 object Dict {
 
+  /** Dictionary content version — part of the checkpoint config snapshot
+    * (Checkpoint.configHash): resuming a run against a different dictionary
+    * must be refused, not silently mixed. Bump on any row change.
+    */
+  val Version = "1"
+
   /** Clean dictionary used by the driver-facing oracle queries: surnames are
     * pairwise distinct and non-near-duplicate, so exact-tier scoring is the
     * unique outcome (near-duplicate/fuzzy cases are exercised in ScalaTest

@@ -25,32 +25,54 @@ final case class RelSpec(
     subjCols: Seq[String],
     objPrefix: String,
     objField: String,
-    childArray: Option[String] = None)
+    childArray: Option[String] = None,
+    childArray2: Option[String] = None,
+    subjChildField: Option[String] = None)
 
 object RelMap {
 
   /** REL_MAP for the expanded transcript-turn entity — parity with the
     * reference's map-driven edge extraction (constants.py REL_MAP_ACTIVITEIT
     * et al.): parent turn → nested attachment children, scalar tool ref,
-    * and conversation containment.
+    * conversation containment, and the TWO-LEVEL attachment→chunk edge
+    * (`childArray2`: the object key lives inside
+    * `array<struct<…, array<struct>>>`, flattened with a double explode —
+    * mirroring the reference's nevenfunctie→inkomsten nested loop,
+    * persoon_processor.py:136-159).
     */
   val TurnRels: Seq[RelSpec] = Seq(
     RelSpec("HAS_ATTACHMENT", "turn", Seq("conv_id", "turn_idx"),
       "attachment", "att_id", childArray = Some("attachments")),
+    RelSpec("HAS_CHUNK", "attachment", Nil, "chunk", "chunk_id",
+      childArray = Some("attachments"), childArray2 = Some("chunks"),
+      subjChildField = Some("att_id")),
     RelSpec("USED_TOOL", "turn", Seq("conv_id", "turn_idx"), "tool", "tool"),
     RelSpec("IN_CONV", "turn", Seq("conv_id", "turn_idx"), "conv", "conv_id"))
 
-  /** Emit `(subj, pred, obj)` edges for every spec over the parent frame. */
+  /** Emit `(subj, pred, obj)` edges for every spec over the parent frame.
+    * Subject key comes from the parent columns, or (with `subjChildField`)
+    * from the level-1 child struct — the shape of child-keyed edges like
+    * attachment→chunk.
+    */
   def edges(parent: DataFrame, specs: Seq[RelSpec]): DataFrame =
     specs.map { sp =>
-      val subj = concat_ws(":", (lit(sp.subjPrefix) +: sp.subjCols.map(col)): _*)
-      val keyed = sp.childArray match {
-        case Some(arr) =>
+      val parentSubj = concat_ws(":", (lit(sp.subjPrefix) +: sp.subjCols.map(col)): _*)
+      val keyed = (sp.childArray, sp.childArray2) match {
+        case (Some(arr), Some(arr2)) =>
+          val subj = sp.subjChildField match {
+            case Some(f) => concat_ws(":", lit(sp.subjPrefix), col(s"_child.$f"))
+            case None => col("_psubj")
+          }
           parent
-            .select(subj.as("subj"), explode(col(arr)).as("_child"))
+            .select(parentSubj.as("_psubj"), explode(col(arr)).as("_child"))
+            .select(subj.as("subj"), explode(col(s"_child.$arr2")).as("_child2"))
+            .select(col("subj"), col(s"_child2.${sp.objField}").as("_key"))
+        case (Some(arr), None) =>
+          parent
+            .select(parentSubj.as("subj"), explode(col(arr)).as("_child"))
             .select(col("subj"), col(s"_child.${sp.objField}").as("_key"))
-        case None =>
-          parent.select(subj.as("subj"), col(sp.objField).as("_key"))
+        case _ =>
+          parent.select(parentSubj.as("subj"), col(sp.objField).as("_key"))
       }
       keyed
         .where(col("_key").isNotNull)

@@ -195,6 +195,50 @@ class MaterializeCheckpointSpec extends SparkSpec {
     assert(stats.getAs[Long]("rows_done") == 200)
   }
 
+  test("failed buckets are recorded with error class and re-run on resume") {
+    val lineage = tmp("lineage-fail")
+    val data = (0 until 100).map(i => (s"c$i", i)).toDF("conv_id", "x")
+    val nb = 8
+    val cfg = Checkpoint.configHash("dict" -> "1")
+    // buckets 0..5 done; bucket 6 "throws" and is recorded failed
+    val done = data.where(Checkpoint.bucketOf(col("conv_id"), nb) < 6)
+    Checkpoint.recordProcessed(spark, lineage, "r1", "extract", done, "conv_id", nb, cfg)
+    Checkpoint.recordFailed(spark, lineage, "r1", "extract", 6,
+      new RuntimeException("boom"), cfg)
+    // failure is visible in stats (the reference's failure_count/failed_items)
+    val st = Checkpoint.stats(spark, lineage, "extract").head()
+    assert(st.getAs[Long]("buckets_done") == 6)
+    assert(st.getAs[Long]("failure_count") == 1)
+    assert(st.getAs[scala.collection.Seq[Int]]("failed_buckets").toSeq == Seq(6))
+    val err = spark.read.parquet(lineage).where(col("status") === "failed")
+      .head().getAs[String]("err_class")
+    assert(err == "java.lang.RuntimeException")
+    // resume excludes ONLY done buckets: the failed bucket 6 re-runs
+    val processed = Checkpoint.processedBuckets(spark, lineage, "extract")
+    val remainder = Checkpoint.filterUnprocessed(data, processed, "conv_id", nb)
+    val remBuckets = remainder
+      .select(Checkpoint.bucketOf(col("conv_id"), nb).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(remBuckets == Set(6, 7))
+  }
+
+  test("resume under a different config is refused; same config passes") {
+    val lineage = tmp("lineage-cfg")
+    val data = Seq(("c1", 1)).toDF("conv_id", "x")
+    val cfg1 = Checkpoint.configHash("dict" -> "1", "nbuckets" -> "16")
+    val cfg1b = Checkpoint.configHash("nbuckets" -> "16", "dict" -> "1") // order-insensitive
+    val cfg2 = Checkpoint.configHash("dict" -> "2", "nbuckets" -> "16")
+    Checkpoint.recordProcessed(spark, lineage, "r1", "pipeline", data, "conv_id",
+      configHash = cfg1)
+    Checkpoint.requireCompatible(spark, lineage, "pipeline", cfg1b) // ok
+    val e = intercept[IllegalStateException] {
+      Checkpoint.requireCompatible(spark, lineage, "pipeline", cfg2)
+    }
+    assert(e.getMessage.contains("config mismatch"))
+    // a different stage is unaffected
+    Checkpoint.requireCompatible(spark, lineage, "otherstage", cfg2)
+  }
+
   test("a stage with no lineage resumes from scratch (empty processed set)") {
     val processed = Checkpoint.processedBuckets(spark, tmp("nolineage"), "link")
     assert(processed.count() == 0)

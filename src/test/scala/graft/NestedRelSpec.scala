@@ -20,12 +20,46 @@ class NestedRelSpec extends SparkSpec {
   ).map { case (c, i, r, t, tool) => (c, i, r, t, tool, Timestamp.valueOf("2024-01-01 10:00:00")) }
     .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
-  test("withAttachments adds an array<struct> child collection (S2 shape)") {
+  test("withAttachments adds a TWO-LEVEL array<struct<…,array<struct>>> child collection") {
     val df = Expand.withAttachments(turnsDf)
     val f = df.schema("attachments")
     assert(f.dataType.isInstanceOf[ArrayType])
     val el = f.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
-    assert(el.fieldNames.toSeq == Seq("att_id", "kind", "size_bytes"))
+    assert(el.fieldNames.toSeq == Seq("att_id", "kind", "size_bytes", "chunks"))
+    val chunkEl = el("chunks").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    assert(chunkEl.fieldNames.toSeq == Seq("chunk_id", "seq", "chunk_bytes"))
+  }
+
+  test("flattenChunks double-explodes both levels; attachment-less turns survive") {
+    val deep = Expand.flattenChunks(Expand.withAttachments(turnsDf))
+    // every input turn appears at least once
+    assert(deep.select("conv_id", "turn_idx").distinct().count() == 3)
+    // every attachment has size_bytes % 2 + 1 chunks with sequential seq
+    val withAtt = deep.where(col("att_id").isNotNull)
+    val perAtt = withAtt.groupBy("att_id", "size_bytes")
+      .agg(count(lit(1)).as("n"), min("seq").as("lo"), max("seq").as("hi"))
+      .collect()
+    assert(perAtt.nonEmpty)
+    perAtt.foreach { r =>
+      val expect = r.getAs[Int]("size_bytes") % Expand.MaxChunks + 1
+      assert(r.getAs[Long]("n") == expect)
+      assert(r.getAs[Int]("lo") == 0 && r.getAs[Int]("hi") == expect - 1)
+    }
+    // chunk ids are unique across the corpus
+    assert(withAtt.select("chunk_id").distinct().count() == withAtt.count())
+  }
+
+  test("RelMap childArray2: HAS_CHUNK edges come from the second nesting level") {
+    val parent = Expand.withAttachments(turnsDf)
+    val edges = RelMap.edges(parent, RelMap.TurnRels)
+    val chunks = edges.where(col("pred") === "HAS_CHUNK")
+      .select("subj", "obj").as[(String, String)].collect()
+    val deep = Expand.flattenChunks(parent).where(col("chunk_id").isNotNull)
+      .select(concat(lit("attachment:"), col("att_id")),
+        concat(lit("chunk:"), col("chunk_id")))
+      .as[(String, String)].collect()
+    assert(chunks.toSet == deep.toSet && chunks.nonEmpty)
   }
 
   test("flattenAttachments is explode_outer: attachment-less turns survive") {
@@ -43,7 +77,7 @@ class NestedRelSpec extends SparkSpec {
     val parent = Expand.withAttachments(turnsDf)
     val base = RelMap.edges(parent, RelMap.TurnRels)
     val preds = base.select("pred").distinct().as[String].collect().toSet
-    assert(preds == Set("HAS_ATTACHMENT", "USED_TOOL", "IN_CONV"))
+    assert(preds == Set("HAS_ATTACHMENT", "HAS_CHUNK", "USED_TOOL", "IN_CONV"))
     // one added spec -> one new edge family, same generic loop
     val extra = RelSpec("SPOKEN_BY_ROLE", "turn", Seq("conv_id", "turn_idx"),
       "role", "role")

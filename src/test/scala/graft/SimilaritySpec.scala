@@ -68,6 +68,20 @@ class SimilaritySpec extends SparkSpec {
     assert(permille >= 900, s"IVF recall $permille‰ < 900‰")
   }
 
+  test("IVF k-means centroids: recall at equal nprobe >= the seeded-start recall") {
+    val df = clustered()
+    def recallAt(iters: Int): Int =
+      Similarity.ivfRecall(df, k = 5, nCentroids = 15, nprobe = 2,
+        kmeansIters = iters).head().getAs[Int]("recall_permille")
+    val seeded = recallAt(0)
+    val fitted = recallAt(2)
+    // Lloyd iterations move the seed vectors to the true cluster centers,
+    // so assignments sharpen: fitted recall must not regress (VERDICT r3
+    // acceptance: >= the seeded value at equal nprobe)
+    assert(fitted >= seeded, s"kmeans recall $fitted < seeded $seeded")
+    assert(fitted >= 900, s"kmeans recall $fitted < 900")
+  }
+
   test("IVF: candidate volume is bounded by nprobe/nCentroids, not all-pairs") {
     val df = clustered()
     val n = NClusters * PerCluster
