@@ -121,6 +121,19 @@ object Extract {
     wide.where(col("is_speaker"))
       .select("conv_id", "turn_idx", "ts", "kind", "v_first", "v_last")
 
+  /** Speaker view CARRYING the co-row case fields: the wide table is one
+    * row per turn, so a turn's speaker mention and case mention are the
+    * same row — the pipeline zaak-links these columns in place (broadcast
+    * tiers) and threads them through the person-link argmax, making the
+    * DISCUSSES derivation join-free (Pipeline.build).
+    */
+  def speakersWithCaseFrom(wide: DataFrame): DataFrame =
+    wide.where(col("is_speaker"))
+      .select(col("conv_id"), col("turn_idx"), col("ts"), col("kind"),
+        col("v_first"), col("v_last"),
+        col("dossier_nr"),
+        when(col("is_case"), col("stuk_nr")).as("stuk_nr"))
+
   /** Case-mention view (reference xml_extractor.py:194-217). */
   def casesFrom(wide: DataFrame): DataFrame =
     wide.where(col("is_case"))

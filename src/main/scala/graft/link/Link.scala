@@ -73,7 +73,18 @@ object Link {
     * mention count — see `linkPersonsWithNoMatch` for the padded variant the
     * ProcessingStatistics parity uses.
     */
-  def linkPersons(mentions: DataFrame, persons: DataFrame): DataFrame = {
+  def linkPersons(mentions: DataFrame, persons: DataFrame): DataFrame =
+    linkPersons(mentions, persons, Nil)
+
+  /** As above with `carry` columns: extra mention-row attributes (constant
+    * per mention by construction — e.g. the co-row zaak link the pipeline
+    * attaches, see Pipeline.build) that ride through the candidate union
+    * and the argmax as additional group keys, so downstream consumers need
+    * no re-join on the mention key. Groups are unchanged because each carry
+    * column is a function of the mention row.
+    */
+  def linkPersons(mentions: DataFrame, persons: DataFrame,
+      carry: Seq[String]): DataFrame = {
     val blocks = broadcast(personBlocks(persons))
 
     // Tier 1: exact surname block join (reference api_extractor.py:148-155).
@@ -93,15 +104,15 @@ object Link {
         col("bare").contains(col("lt")))
       .drop("lt")
 
-    val cols = Seq("conv_id", "turn_idx", "v_first", "v_last",
-      "persoon_id", "fractie_id", "bare", "full", "roepnaam", "voornamen")
+    val cols = Seq("conv_id", "turn_idx", "v_first", "v_last") ++ carry ++
+      Seq("persoon_id", "fractie_id", "bare", "full", "roepnaam", "voornamen")
     val candidates = exact.select(cols.map(col): _*)
       .unionByName(fallback.select(cols.map(col): _*))
       .withColumn("score", nameScore(col("v_first"), col("v_last"),
         col("bare"), col("full"), col("roepnaam"), col("voornamen")))
       .where(col("score") >= MinSpeakerScore)
 
-    bestCandidate(candidates)
+    bestCandidate(candidates, keyCols = DefaultMentionKey ++ carry)
       .withColumn("match_type",
         when(col("score") >= ExactThreshold, MatchType.Exact).otherwise(MatchType.Fuzzy))
   }
@@ -111,18 +122,22 @@ object Link {
     * partial-combined map-side, no sort, skew-proof (hot mention keys combine
     * before the shuffle).
     */
+  private[link] val DefaultMentionKey =
+    Seq("conv_id", "turn_idx", "v_first", "v_last")
+
   private[link] def bestCandidate(candidates: DataFrame,
-      extraOrder: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+      extraOrder: Seq[org.apache.spark.sql.Column] = Nil,
+      keyCols: Seq[String] = DefaultMentionKey): DataFrame =
     candidates
-      .groupBy("conv_id", "turn_idx", "v_first", "v_last")
+      .groupBy(keyCols.map(col): _*)
       .agg(min_by(
         struct(col("persoon_id"), col("fractie_id"), col("score")),
         struct((extraOrder :+ (-col("score")).as("neg_score") :+
           col("persoon_id")): _*)).as("best"))
-      .select(col("conv_id"), col("turn_idx"), col("v_first"), col("v_last"),
+      .select(keyCols.map(col) ++ Seq(
         col("best.persoon_id").as("persoon_id"),
         col("best.fractie_id").as("fractie_id"),
-        col("best.score").as("score"))
+        col("best.score").as("score")): _*)
 
   /** `linkPersons` padded back to one row per mention: unmatched mentions are
     * emitted with null persoon_id, score 0, match_type NO_MATCH — the
@@ -235,6 +250,25 @@ object Link {
     * evaluated in one pass over the mentions (no shuffle of the fact side).
     */
   def linkZaken(mentions: DataFrame, zaken: DataFrame, dossiers: DataFrame,
+      documents: DataFrame): DataFrame =
+    zaakEntityCarry(mentions, zaken, dossiers, documents)
+      .select(
+        col("conv_id"), col("turn_idx"), col("dossier_nr"), col("stuk_nr"),
+        col("toevoeging"),
+        col("z_entity_id").as("entity_id"),
+        col("z_score").as("score"),
+        col("z_match_type").as("match_type"))
+
+  /** The zaak tier cascade as a CARRY: attaches `z_entity_id` / `z_score` /
+    * `z_match_type` to ANY frame with (dossier_nr, stuk_nr), keeping every
+    * input column — still three broadcast left joins evaluated in one pass
+    * with no fact-side shuffle. `linkZaken` is a projection of this; the
+    * pipeline applies it to the speaker-mention rows directly (the wide
+    * mention table is one row per turn, so a turn's speaker and case
+    * mentions are the SAME row), which makes the DISCUSSES derivation a
+    * column reference instead of a fact×fact join on (conv_id, turn_idx).
+    */
+  def zaakEntityCarry(df: DataFrame, zaken: DataFrame, dossiers: DataFrame,
       documents: DataFrame): DataFrame = {
     val z = broadcast(zaken.select(
       col("zaak_id"), col("dossier_nr").as("z_dnr"), col("stuk_nr").as("z_snr")))
@@ -246,21 +280,23 @@ object Link {
       concat(lit("DOC"), col("dossier_nr").cast("string"), lit("-"),
         col("volgnummer").cast("string")).as("document_id")))
 
-    mentions
+    df
       .join(z, col("dossier_nr") === col("z_dnr") && col("stuk_nr") === col("z_snr"), "left")
       .join(d, col("dossier_nr") === col("d_dnr"), "left")
       .join(doc, col("dossier_nr") === col("doc_dnr") &&
         col("stuk_nr") === col("doc_volg"), "left")
-      .select(
-        col("conv_id"), col("turn_idx"), col("dossier_nr"), col("stuk_nr"),
-        col("toevoeging"),
-        coalesce(col("zaak_id"), col("dossier_id"), col("document_id")).as("entity_id"),
+      .withColumn("z_entity_id",
+        coalesce(col("zaak_id"), col("dossier_id"), col("document_id")))
+      .withColumn("z_score",
         when(col("zaak_id").isNotNull, 100)
           .when(col("dossier_id").isNotNull, 75)
           .when(col("document_id").isNotNull, 60)
-          .otherwise(0).as("score"),
+          .otherwise(0))
+      .withColumn("z_match_type",
         when(col("zaak_id").isNotNull, MatchType.Exact)
           .when(col("dossier_id").isNotNull || col("document_id").isNotNull, MatchType.Fallback)
-          .otherwise(MatchType.NoMatch).as("match_type"))
+          .otherwise(MatchType.NoMatch))
+      .drop("zaak_id", "z_dnr", "z_snr", "d_dnr", "dossier_id",
+        "doc_dnr", "doc_volg", "document_id")
   }
 }

@@ -62,8 +62,17 @@ object Pipeline {
         df.localCheckpoint(false)
     }
     val wide = stage(Extract.mentionsWide(turns), "mentions")
-    val linkedRaw =
-      observeLink(Link.linkPersons(Extract.speakersFrom(wide), Dict.personsDf(spark)))
+    // The wide table is one row per turn, so a turn's speaker and case
+    // mentions are the SAME row: zaak-link the case columns in place
+    // (broadcast tiers, no shuffle) and CARRY the result through the
+    // person-link argmax — the DISCUSSES triples then read the carried
+    // columns instead of re-joining linkedPersons × linkedZaken on
+    // (conv_id, turn_idx) (two corpus exchanges saved per run).
+    val speakersZ = Link.zaakEntityCarry(Extract.speakersWithCaseFrom(wide),
+      Dict.zakenDf(spark), Dict.dossiersDf(spark), Dict.documentsDf(spark))
+      .drop("z_score")
+    val linkedRaw = observeLink(Link.linkPersons(speakersZ, Dict.personsDf(spark),
+      carry = Seq("z_entity_id", "z_match_type")))
     val linkedPersons = stage(linkedRaw, "linked_persons")
     val linkedZaken = Link.linkZaken(Extract.casesFrom(wide),
       Dict.zakenDf(spark), Dict.dossiersDf(spark), Dict.documentsDf(spark))

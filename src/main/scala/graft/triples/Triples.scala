@@ -86,42 +86,6 @@ object Triples {
       .unionByName(tri(convKey, Pred.ContainsZaak, zaakKey)(
         linkedZaken.where(col("entity_id").isNotNull)))
 
-  /** Raw (non-deduplicated) forms of the multi-valued branches, fused under
-    * ONE distinct in `all`/`allNonMention`: ten per-branch distinct
-    * exchanges become one — same final set (dedup is idempotent and
-    * branches have disjoint predicates), an order of magnitude fewer
-    * shuffle barriers/AQE jobs per action (pure driver-serial latency in
-    * the scaling budget).
-    */
-  private def spokeInRaw(lp: DataFrame) = triRaw(persoonKey, Pred.SpokeIn, convKey)(lp)
-
-  private def discussesRaw(lp: DataFrame, lz: DataFrame): DataFrame = {
-    val z = lz.where(col("entity_id").isNotNull)
-      .select("conv_id", "turn_idx", "entity_id", "match_type")
-    lp.select("conv_id", "turn_idx", "persoon_id")
-      .join(z, Seq("conv_id", "turn_idx"))
-      .select(
-        persoonKey.as("subj"),
-        when(col("match_type") === graft.model.MatchType.Exact, Pred.DiscussesZaak)
-          .otherwise(Pred.DiscussesDossier).as("pred"),
-        zaakKey.as("obj"))
-  }
-
-  private def containmentRaw(lp: DataFrame, lz: DataFrame): DataFrame =
-    triRaw(convKey, Pred.ContainsSpeaker, persoonKey)(lp)
-      .unionByName(triRaw(convKey, Pred.ContainsZaak, zaakKey)(
-        lz.where(col("entity_id").isNotNull)))
-
-  private def interruptionsRaw(linkedSpeakers: DataFrame): DataFrame = {
-    val events = Interruptions.detect(linkedSpeakers)
-    triRaw(concat(lit(P), col("interrupter")), Pred.InterruptedIn, convKey)(events)
-      .unionByName(
-        triRaw(concat(lit(P), col("interrupted")), Pred.WasInterruptedIn, convKey)(events))
-      .unionByName(
-        triRaw(concat(lit(P), col("interrupted")), Pred.RespondedIn, convKey)(
-          events.where(col("itype") === InterruptionType.WithResponse)))
-  }
-
   /** Dictionary membership edges (reference Persoon→Fractie via
     * FractieZetelPersoon; dims are part of the graph, seed_enums parity).
     */
@@ -161,18 +125,69 @@ object Triples {
     * canonicalization (`Canonicalize.canonicalTriples`), which proves the
     * mention branch always self-loops away. Raw branches fused under ONE
     * distinct (see the raw-branch Scaladoc), so the result is a set.
+    *
+    * The fused distinct runs in COMPACT ID SPACE: branches that need dedup
+    * emit `(pred, a, b)` with the raw entity ids, and the namespaced key
+    * strings are built AFTER the dedup from a pred→prefix mapping (the
+    * prefix pair is a function of the predicate, so id-space dedup ≡
+    * string-space dedup). The one corpus-sized exchange of the derivation
+    * therefore carries ~1/3 the bytes of pre-built key strings, and the
+    * concats run on the deduped (×5-10 smaller) row set. The vote branches
+    * are unique by construction (the vote key embeds its whole row) and
+    * predicate-disjoint from the rest, so they bypass the exchange
+    * entirely.
     */
   def allNonMention(linkedPersons: DataFrame, linkedZaken: DataFrame,
       voteMentions: DataFrame, persons: DataFrame, fracties: DataFrame): DataFrame = {
     val speakers = linkedPersons
       .select(col("conv_id"), col("turn_idx"), col("persoon_id").as("speaker"))
-    spokeInRaw(linkedPersons)
-      .unionByName(discussesRaw(linkedPersons, linkedZaken))
-      .unionByName(containmentRaw(linkedPersons, linkedZaken))
-      .unionByName(memberOf(persons))
-      .unionByName(interruptionsRaw(speakers))
-      .unionByName(votes(voteMentions, fracties))
+    def compactTri(pred: org.apache.spark.sql.Column,
+        a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)(
+        df: DataFrame): DataFrame =
+      df.select(pred.as("pred"), a.as("a"), b.as("b"))
+    val z = linkedZaken.where(col("entity_id").isNotNull)
+    // DISCUSSES input: when the linker output carries the co-row zaak link
+    // (Pipeline.build threads z_entity_id/z_match_type through the argmax),
+    // the same-turn speaker×zaak co-occurrence is a column reference — no
+    // join. Plain linker output (direct callers) falls back to the
+    // (conv_id, turn_idx) equi-join; both produce the same pairs because
+    // the carried columns ARE the zaak link of the same turn row.
+    val discussesIn =
+      if (linkedPersons.columns.contains("z_entity_id"))
+        linkedPersons.where(col("z_entity_id").isNotNull)
+          .select(col("persoon_id"), col("z_entity_id").as("entity_id"),
+            col("z_match_type").as("match_type"))
+      else
+        linkedPersons.select("conv_id", "turn_idx", "persoon_id")
+          .join(z.select("conv_id", "turn_idx", "entity_id", "match_type"),
+            Seq("conv_id", "turn_idx"))
+    val events = Interruptions.detect(speakers)
+    val compact = compactTri(lit(Pred.SpokeIn), col("persoon_id"), col("conv_id"))(linkedPersons)
+      .unionByName(compactTri(
+        when(col("match_type") === graft.model.MatchType.Exact, Pred.DiscussesZaak)
+          .otherwise(Pred.DiscussesDossier),
+        col("persoon_id"), col("entity_id"))(discussesIn))
+      .unionByName(compactTri(lit(Pred.ContainsSpeaker), col("conv_id"), col("persoon_id"))(linkedPersons))
+      .unionByName(compactTri(lit(Pred.ContainsZaak), col("conv_id"), col("entity_id"))(z))
+      .unionByName(compactTri(lit(Pred.MemberOf), col("persoon_id"), col("fractie_id"))(persons))
+      .unionByName(compactTri(lit(Pred.InterruptedIn), col("interrupter"), col("conv_id"))(events))
+      .unionByName(compactTri(lit(Pred.WasInterruptedIn), col("interrupted"), col("conv_id"))(events))
+      .unionByName(compactTri(lit(Pred.RespondedIn), col("interrupted"), col("conv_id"))(
+        events.where(col("itype") === InterruptionType.WithResponse)))
       .distinct()
+    val convSubj = Seq(Pred.ContainsSpeaker, Pred.ContainsZaak)
+    val convObj = Seq(Pred.SpokeIn, Pred.InterruptedIn, Pred.WasInterruptedIn, Pred.RespondedIn)
+    val zaakObj = Seq(Pred.DiscussesZaak, Pred.DiscussesDossier)
+    val subjPrefix = when(col("pred").isin(convSubj: _*), C).otherwise(P)
+    val objPrefix = when(col("pred").isin(convObj: _*), C)
+      .when(col("pred").isin(zaakObj: _*), "zaak:")
+      .when(col("pred") === Pred.ContainsSpeaker, P)
+      .when(col("pred") === Pred.ContainsZaak, "zaak:")
+      .otherwise(F) // MEMBER_OF
+    compact.select(
+      concat(subjPrefix, col("a")).as("subj"), col("pred"),
+      concat(objPrefix, col("b")).as("obj"))
+      .unionByName(votes(voteMentions, fracties))
   }
 
   /** The full triple set. Inputs are the upstream stage outputs; dims are the
