@@ -51,4 +51,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"sort-merge join in link plan:\n$p")
     assert(!p.contains("ShuffledHashJoin"), s"shuffled join in link plan:\n$p")
   }
+
+  test("the WHOLE canonical-triple plan contains no shuffle join (broadcast dims only)") {
+    // r3: the discusses derivation is join-free (the co-row zaak link rides
+    // the argmax as carry columns), so the only joins left anywhere in the
+    // end-to-end canonical plan are broadcast dimension joins — at corpus
+    // scale there is NO fact×fact shuffle join in the whole derivation
+    val stages = graft.pipeline.Pipeline.build(spark,
+      spark.read.parquet(turnsPath))
+    val p = plan(stages.canonical)
+    assert(p.contains("Broadcast"), s"no broadcast join in canonical plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"sort-merge join in canonical plan:\n$p")
+    assert(!p.contains("ShuffledHashJoin"), s"shuffled join in canonical plan:\n$p")
+  }
 }
