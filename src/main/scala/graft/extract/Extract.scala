@@ -66,52 +66,33 @@ object Extract {
     * independent, not a partition.
     */
   def mentionsWide(turns: DataFrame): DataFrame = {
-    val t = col("text")
-    // Each regex is evaluated into a named column exactly once; later
-    // expressions reference the attribute. Building the `when`-chains over
-    // raw regex Columns instead would inline every regex tree ~6x into the
-    // plan — catastrophic for generated-code size (janino compile seconds).
-    nonProcedural(turns)
-      .withColumn("m_woord", regexp_extract(t, "het woord aan (.+)$", 1))
-      .withColumn("m_spreekt", regexp_extract(t, "^Mevrouw (.+) spreekt over", 1))
-      .withColumn("m_inter", regexp_extract(t, "^De heer (.+) interrumpeert", 1))
-      .withColumn("m_reactie", regexp_extract(t, "^(.+) vraagt een reactie", 1))
-      .withColumn("kind",
-        when(col("m_woord") =!= "", "woord_aan")
-          .when(col("m_spreekt") =!= "", "spreekt")
-          .when(col("m_inter") =!= "", "interrumpeert")
-          .when(col("m_reactie") =!= "", "reactie"))
-      .withColumn("m_full",
-        when(col("m_woord") =!= "", col("m_woord")).otherwise(col("m_reactie")))
-      .withColumn("v_first",
-        when(col("m_full") =!= "", regexp_extract(col("m_full"), "^(\\S+) ", 1))
-          .otherwise(lit("")))
-      .withColumn("v_last",
-        when(col("m_full") =!= "", regexp_extract(col("m_full"), "^\\S+ (.+)$", 1))
-          .otherwise(when(col("m_spreekt") =!= "", col("m_spreekt")).otherwise(col("m_inter"))))
-      .withColumn("dossier_code", regexp_extract(t, "dossier (\\d+(?:-[A-Za-z0-9]+)?)", 1))
-      .withColumn("m_stuk", regexp_extract(t, "nr\\. (\\d+)", 1))
-      .withColumn("fractie_naam", regexp_extract(t, "^De fractie (.+) stemt ", 1))
-      .withColumn("vote_norm",
-        TextFunctions.normalizeVote(regexp_extract(t, " stemt (voor|tegen|onthouding)$", 1)))
-      // mention validity (P5): a speaker mention needs a surname
-      // (reference xml_extractor.py:144, 171); a case mention a dossier code
-      .withColumn("is_speaker", col("kind").isNotNull && col("v_last") =!= "")
-      .withColumn("is_case", col("dossier_code") =!= "")
-      .withColumn("is_vote", col("fractie_naam") =!= "" && col("vote_norm") =!= "")
-      .where(col("is_speaker") || col("is_case") || col("is_vote"))
+    // ALL the per-turn regex work in ONE fused kernel call per row
+    // (graft.functions.MentionExtract): one String conversion, per-thread
+    // reused matchers, indexOf-gated patterns — vs ~9 regexp_extract
+    // columns each converting and allocating per row. Bit-identical values
+    // (the kernel reproduces the regexp_extract column graph exactly; the
+    // DuckDB oracle mirrors the same regexes). The kernel returns NULL for
+    // procedural turns (P4) and turns with no valid mention (P5), so the
+    // wide filter is a null check.
+    turns
+      .select(col("conv_id"), col("turn_idx"), col("ts"),
+        graft.functions.MentionExtract.of(col("text")).as("m"))
+      .where(col("m").isNotNull)
       .select(
         col("conv_id"), col("turn_idx"), col("ts"),
-        col("is_speaker"), col("kind"), col("v_first"), col("v_last"),
-        col("is_case"),
+        col("m.is_speaker").as("is_speaker"), col("m.kind").as("kind"),
+        col("m.v_first").as("v_first"), col("m.v_last").as("v_last"),
+        col("m.is_case").as("is_case"),
         // guarded by the flag: dossierNumber's int cast is ANSI-strict and
         // must not see the empty code of speaker/vote-only rows
-        when(col("is_case"),
-          TextFunctions.dossierNumber(col("dossier_code"))).as("dossier_nr"),
-        when(col("is_case"),
-          TextFunctions.dossierToevoeging(col("dossier_code"))).as("toevoeging"),
-        when(col("m_stuk") =!= "", col("m_stuk").cast("int")).as("stuk_nr"),
-        col("is_vote"), col("fractie_naam"), col("vote_norm"))
+        when(col("m.is_case"),
+          TextFunctions.dossierNumber(col("m.dossier_code"))).as("dossier_nr"),
+        when(col("m.is_case"),
+          TextFunctions.dossierToevoeging(col("m.dossier_code"))).as("toevoeging"),
+        when(col("m.stuk") =!= "", col("m.stuk").cast("int")).as("stuk_nr"),
+        col("m.is_vote").as("is_vote"),
+        col("m.fractie_naam").as("fractie_naam"),
+        TextFunctions.normalizeVote(col("m.vote_raw")).as("vote_norm"))
   }
 
   /** Speaker-mention view of the wide form (same rows/columns as round-2's

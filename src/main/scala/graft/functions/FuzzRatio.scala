@@ -87,7 +87,10 @@ object FuzzRatio {
   /** Register `fuzz_ratio` in the session's function registry so it is usable
     * from both SQL text and `call_function("fuzz_ratio", ...)`.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fuzz_ratio", exprs => FuzzRatioExpr(exprs(0), exprs(1)), "built-in")
+    // the session-registration entry point for all graft native functions
+    MentionExtract.register(spark)
+  }
 }

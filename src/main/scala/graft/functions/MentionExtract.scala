@@ -1,0 +1,190 @@
+package graft.functions
+
+import java.util.regex.{Matcher, Pattern}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused one-pass mention extraction: ALL of the extract stage's per-turn
+  * regex work (procedural filter, the four speaker surface patterns, the
+  * first/last-name split, dossier/stuk codes, fractie vote utterances —
+  * reference xml_extractor.py:69-257) evaluated by ONE kernel call per row.
+  *
+  * Why not a chain of `regexp_extract` columns (the round-2/3a shape):
+  * every `regexp_extract` call converts the row's `UTF8String` text to a
+  * fresh Java `String` and allocates a fresh `Matcher` — 9 regex columns
+  * mean ~9 String copies of the same text plus 9 Matcher allocations PER
+  * ROW. On one socket that allocation traffic is the dominant scaling
+  * cost: measured per-task time inflates ~1.5× from 1→4 cores on this
+  * box's shared L3/memory system, and the extract job is the largest
+  * single contributor. The kernel converts the text ONCE, reuses
+  * per-thread Matchers (`Matcher.reset`), prunes impossible patterns with
+  * vectorized `String.indexOf`/`startsWith` gates before touching the
+  * regex engine, and short-circuits the speaker-pattern cascade exactly
+  * along the dataflow of the original column graph.
+  *
+  * Semantics are bit-identical to the replaced column graph (the DuckDB
+  * oracle mirrors it): same java.util.regex patterns, `find()` semantics
+  * (`lookingAt()` only where the pattern is `^`-anchored, which is
+  * equivalent), unmatched → empty string, and the procedural filter's
+  * `lower(text) RLIKE` is reproduced with CASE_INSENSITIVE|UNICODE_CASE
+  * on the original text. Returns NULL for rows the wide mention table
+  * drops (procedural turns and turns with no valid mention), so the
+  * caller's filter is a null check.
+  *
+  * Codegen: a `UnaryExpression` whose generated code is a single static
+  * call (same pattern as [[FuzzRatioExpr]]) — the extract stage stays one
+  * whole-stage-codegen span over the scan.
+  */
+case class MentionExtractExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = MentionExtract.schema
+
+  override def prettyName: String = "mention_extract"
+
+  // null for non-null input: procedural turns and no-mention turns
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(t: Any): Any =
+    MentionExtract.extract(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => s"""
+      ${ev.value} = graft.functions.MentionExtract.extract($t);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): MentionExtractExpr =
+    copy(child = newChild)
+}
+
+object MentionExtract {
+
+  val schema: StructType = StructType(Seq(
+    StructField("is_speaker", BooleanType, nullable = false),
+    StructField("kind", StringType, nullable = true),
+    StructField("v_first", StringType, nullable = false),
+    StructField("v_last", StringType, nullable = false),
+    StructField("is_case", BooleanType, nullable = false),
+    StructField("dossier_code", StringType, nullable = false),
+    StructField("stuk", StringType, nullable = false),
+    StructField("is_vote", BooleanType, nullable = false),
+    StructField("fractie_naam", StringType, nullable = false),
+    StructField("vote_raw", StringType, nullable = false)))
+
+  // pattern indices — the literal regexes of the round-2 column graph
+  // (Extract.mentionsWide / Extract.isProcedural), unchanged
+  private val patterns: Array[Pattern] = Array(
+    Pattern.compile("\\b(" + graft.extract.Extract.ProceduralMarkers.mkString("|") + ")\\b",
+      Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE), // 0: lower(text) RLIKE markers
+    Pattern.compile("het woord aan (.+)$"), // 1
+    Pattern.compile("^Mevrouw (.+) spreekt over"), // 2
+    Pattern.compile("^De heer (.+) interrumpeert"), // 3
+    Pattern.compile("^(.+) vraagt een reactie"), // 4
+    Pattern.compile("^(\\S+) "), // 5: first name of the full form
+    Pattern.compile("^\\S+ (.+)$"), // 6: last name of the full form
+    Pattern.compile("dossier (\\d+(?:-[A-Za-z0-9]+)?)"), // 7
+    Pattern.compile("nr\\. (\\d+)"), // 8
+    Pattern.compile("^De fractie (.+) stemt "), // 9
+    Pattern.compile(" stemt (voor|tegen|onthouding)$")) // 10
+
+  // one Matcher per pattern per thread, reset per row — zero per-row
+  // Matcher allocation (executor task threads are pooled and long-lived)
+  private val matchers: ThreadLocal[Array[Matcher]] =
+    ThreadLocal.withInitial(() => patterns.map(_.matcher("")))
+
+  /** `regexp_extract(s, p, 1)` semantics: first match anywhere, group 1,
+    * unmatched (or null group) → "".
+    */
+  private def find(ms: Array[Matcher], i: Int, s: String): String = {
+    val m = ms(i).reset(s)
+    if (m.find()) { val g = m.group(1); if (g == null) "" else g } else ""
+  }
+
+  /** Same, for `^`-anchored patterns: `find()` ≡ `lookingAt()` (any match
+    * must start at offset 0), without the engine's position-retry loop.
+    */
+  private def anchored(ms: Array[Matcher], i: Int, s: String): String = {
+    val m = ms(i).reset(s)
+    if (m.lookingAt()) { val g = m.group(1); if (g == null) "" else g } else ""
+  }
+
+  private val KindWoord = UTF8String.fromString("woord_aan")
+  private val KindSpreekt = UTF8String.fromString("spreekt")
+  private val KindInter = UTF8String.fromString("interrumpeert")
+  private val KindReactie = UTF8String.fromString("reactie")
+  private val Empty = UTF8String.EMPTY_UTF8
+
+  private def utf8(s: String): UTF8String =
+    if (s.isEmpty) Empty else UTF8String.fromString(s)
+
+  /** One fused extraction pass; see class doc for the exact equivalence
+    * argument vs the regexp_extract column graph.
+    */
+  def extract(text: UTF8String): GenericInternalRow = {
+    val s = text.toString // the ONE String conversion for this row
+    val ms = matchers.get()
+    // procedural turns are dropped before any mention logic (P4)
+    if (ms(0).reset(s).find()) return null
+
+    // speaker cascade — evaluation order mirrors the original column
+    // dataflow: kind = first non-empty of (woord, spreekt, inter, reactie);
+    // full = woord if non-empty else reactie; names split from full when
+    // non-empty, else v_last falls back to spreekt-else-inter
+    var kind: UTF8String = null
+    var full = ""
+    var spreekt = ""
+    var inter = ""
+    val woord = if (s.contains("het woord aan ")) find(ms, 1, s) else ""
+    if (woord.nonEmpty) { kind = KindWoord; full = woord }
+    else {
+      spreekt = if (s.startsWith("Mevrouw ")) anchored(ms, 2, s) else ""
+      if (spreekt.isEmpty)
+        inter = if (s.startsWith("De heer ")) anchored(ms, 3, s) else ""
+      val reactie = if (s.contains(" vraagt een reactie")) anchored(ms, 4, s) else ""
+      full = reactie
+      kind =
+        if (spreekt.nonEmpty) KindSpreekt
+        else if (inter.nonEmpty) KindInter
+        else if (reactie.nonEmpty) KindReactie
+        else null
+    }
+    var vFirst = ""
+    var vLast = ""
+    if (full.nonEmpty) { vFirst = anchored(ms, 5, full); vLast = anchored(ms, 6, full) }
+    else vLast = if (spreekt.nonEmpty) spreekt else inter
+
+    val dossier = if (s.contains("dossier ")) find(ms, 7, s) else ""
+    val stuk = if (s.contains("nr. ")) find(ms, 8, s) else ""
+    var fractie = ""
+    var vote = ""
+    if (s.contains(" stemt ")) { // both vote patterns require the literal
+      fractie = anchored(ms, 9, s)
+      vote = find(ms, 10, s)
+    }
+
+    // mention validity (P5) — rows with no valid mention are dropped
+    val isSpeaker = kind != null && vLast.nonEmpty
+    val isCase = dossier.nonEmpty
+    val isVote = fractie.nonEmpty && vote.nonEmpty
+    if (!isSpeaker && !isCase && !isVote) return null
+
+    new GenericInternalRow(Array[Any](
+      isSpeaker, kind, utf8(vFirst), utf8(vLast),
+      isCase, utf8(dossier), utf8(stuk),
+      isVote, utf8(fractie), utf8(vote)))
+  }
+
+  /** `mention_extract` as a Column (requires [[FuzzRatio.register]] once per
+    * session, which registers both functions).
+    */
+  def of(text: Column): Column = call_function("mention_extract", text)
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mention_extract", exprs => MentionExtractExpr(exprs.head), "built-in")
+}
