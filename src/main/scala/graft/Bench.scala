@@ -453,22 +453,33 @@ object BenchChild {
     if (sys.env.get("SPARK_GRAFT_JOBLOG").contains("1")) {
       val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
       val jobTask = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+      val jobGc = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+      val jobName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
       val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobStart.put(j.jobId, System.nanoTime())
           jobTask.put(j.jobId, new java.util.concurrent.atomic.AtomicLong)
+          jobGc.put(j.jobId, new java.util.concurrent.atomic.AtomicLong)
+          // result-stage name = the action's call site (e.g. "parquet at
+          // Materialize.scala:249") — identifies the job in the log
+          jobName.put(j.jobId, j.stageInfos.lastOption
+            .map(_.name.takeWhile(_ != '\n').take(70)).getOrElse("?"))
           j.stageIds.foreach(s => stageJob.put(s, j.jobId))
         }
         override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val jid = stageJob.get(t.stageId)
           val acc = jobTask.get(jid)
-          if (acc != null && t.taskMetrics != null) acc.addAndGet(t.taskMetrics.executorRunTime)
+          if (acc != null && t.taskMetrics != null) {
+            acc.addAndGet(t.taskMetrics.executorRunTime)
+            jobGc.get(jid).addAndGet(t.taskMetrics.jvmGCTime)
+          }
         }
         override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
           val t0 = jobStart.getOrDefault(j.jobId, 0L)
           val tt = Option(jobTask.get(j.jobId)).map(_.get).getOrElse(0L)
-          System.err.println(f"JOB ${j.jobId}%3d wall ${(System.nanoTime() - t0) / 1e9}%7.3f task ${tt / 1000.0}%7.2f")
+          val gc = Option(jobGc.get(j.jobId)).map(_.get).getOrElse(0L)
+          System.err.println(f"JOB ${j.jobId}%3d wall ${(System.nanoTime() - t0) / 1e9}%7.3f task ${tt / 1000.0}%7.2f gc ${gc / 1000.0}%6.2f  ${jobName.getOrDefault(j.jobId, "?")}")
         }
       })
     }

@@ -119,35 +119,43 @@ object Dict {
       .toDF("idx", "fractie_id", "naam", "afkorting", "zetels_aantal")
   }
 
-  /** Generated arithmetically (no literals) so the same expression runs in
-    * Spark and as oracle SQL at any dictionary scale.
+  /** Generated arithmetically (no literals) so the same arithmetic runs as
+    * oracle SQL at any dictionary scale. Driver-local rows → `LocalRelation`
+    * (like personsDf): a broadcast of a LocalRelation collects on the
+    * driver with NO Spark job, while the earlier `spark.range` form paid a
+    * near-empty distributed job (scheduling latency only — measured
+    * 0.2-0.9 s at 16+ shuffle partitions) per broadcast build per action.
+    * Dims stay broadcast-sized by design (SURVEY.md §2.3), so local rows
+    * are the right representation at any corpus scale.
     */
-  def zakenDf(spark: SparkSession): DataFrame =
-    spark.range(NDossiers.toLong * NStuk).toDF("i")
-      .select(
-        (lit(DossierBase) + (col("i") % NDossiers)).cast("int").as("dossier_nr"),
-        (floor(col("i") / NDossiers) + 1).cast("int").as("stuk_nr"))
-      .where((col("dossier_nr") - DossierBase) % 5 =!= 0)
-      .select(
-        concat(lit("Z"), col("dossier_nr").cast("string"), lit("-"),
-          col("stuk_nr").cast("string")).as("zaak_id"),
-        col("dossier_nr"), lit("").as("toevoeging"), col("stuk_nr"),
-        concat(lit("Onderwerp dossier "), col("dossier_nr").cast("string"),
-          lit(" stuk "), col("stuk_nr").cast("string")).as("onderwerp"))
+  def zakenDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0L until NDossiers.toLong * NStuk)
+      .map(i => (DossierBase + (i % NDossiers).toInt, (i / NDossiers).toInt + 1))
+      .filter { case (dossierNr, _) => (dossierNr - DossierBase) % 5 != 0 }
+      .map { case (dossierNr, stukNr) =>
+        (s"Z$dossierNr-$stukNr", dossierNr, "", stukNr,
+          s"Onderwerp dossier $dossierNr stuk $stukNr")
+      }
+      .toDF("zaak_id", "dossier_nr", "toevoeging", "stuk_nr", "onderwerp")
+  }
 
-  def dossiersDf(spark: SparkSession): DataFrame =
-    spark.range(NDossiers.toLong).toDF("i")
-      .select(
-        (lit(DossierBase) + col("i")).cast("int").as("dossier_nr"),
-        element_at(lit(Toevoegingen.toArray), (col("i") % 4 + 1).cast("int")).as("toevoeging"),
-        concat(lit("Dossier "), (lit(DossierBase) + col("i")).cast("string")).as("titel"))
+  def dossiersDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0L until NDossiers.toLong)
+      .map { i =>
+        val dossierNr = DossierBase + i.toInt
+        (dossierNr, Toevoegingen((i % 4).toInt), s"Dossier $dossierNr")
+      }
+      .toDF("dossier_nr", "toevoeging", "titel")
+  }
 
-  def documentsDf(spark: SparkSession): DataFrame =
-    spark.range(NDossiers.toLong * 3).toDF("i")
-      .select(
-        (lit(DossierBase) + (col("i") % NDossiers)).cast("int").as("dossier_nr"),
-        (floor(col("i") / NDossiers) + 1).cast("int").as("volgnummer"),
-        concat(lit("Stuk "), col("i").cast("string")).as("titel"))
+  def documentsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0L until NDossiers.toLong * 3)
+      .map(i => (DossierBase + (i % NDossiers).toInt, (i / NDossiers).toInt + 1, s"Stuk $i"))
+      .toDF("dossier_nr", "volgnummer", "titel")
+  }
 
   // ---- DuckDB oracle text (same rows, VALUES form) ----
 
