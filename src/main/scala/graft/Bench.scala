@@ -491,14 +491,16 @@ object BenchChild {
       timed(graft.pipeline.Pipeline.build(spark, spark.read.parquet(inputDir),
         linkStagingDir = sys.env.get("SPARK_GRAFT_LINK_STAGING")
           .filter(_ == "1").map(_ => s"${Bench.ShmRoot}/stage-${System.nanoTime()}")))
-    // one-pass graph write: the canonical triple plan executes exactly once,
-    // straight into the edge table (no checkpoint blocks, no dedup exchange
-    // — the canonical set is distinct by construction, no count pass).
-    // 64 buckets (identical at every level): enough single-bucket write
-    // tasks to feed 32 cores while total file count stays fixed per level
-    // — file count must NOT scale with cores (see Materialize.alignedForWrite)
-    val (n, tWrite) = timed(graft.materialize.Materialize.writeGraphInitial(
-      spark, wh, stages.canonical, triplesDistinct = true,
+    // FUSED one-pass graph write: the compact triple plan executes exactly
+    // once, dedup rides the write-aligned exchange (the run's ONLY
+    // corpus-sized shuffle — key strings are never shuffled), and the node
+    // table derives from the compact checkpoint blocks instead of
+    // re-decoding the written edge parquet. 64 buckets (identical at every
+    // level): enough single-bucket write tasks to feed 32 cores while
+    // total file count stays fixed per level — file count must NOT scale
+    // with cores (see Materialize.alignedForWrite)
+    val (n, tWrite) = timed(graft.materialize.Materialize.writeGraphFused(
+      spark, wh, stages.canonicalCompact,
       nBuckets = sys.env.getOrElse("SPARK_GRAFT_NBUCKETS", "64").toInt))
     val total = (System.nanoTime() - tStart) / 1e9
     System.err.println(f"TASKTIME ${taskMs.get / 1000.0}%.2f wall $total%.2f")

@@ -167,6 +167,38 @@ object Canonicalize {
     }
   }
 
+  /** Persoon-endpoint rewrite in COMPACT ID SPACE (the fused-write path,
+    * `Triples.allNonMentionCompact` rows): rows whose subject / object
+    * prefix is `persoon:` get their raw id mapped through the
+    * dimension-sized canon map — two BROADCAST left joins, fully map-side,
+    * BEFORE the write-aligned exchange, so dedup downstream runs once over
+    * post-rewrite rows (merge-collapsed duplicates included) and the bucket
+    * hash is computed on the canonical key. `hasMerges=false` (the
+    * identity map) skips everything, like `canonicalTriples`.
+    */
+  def rewriteCompact(compact: DataFrame, persoonCanon: DataFrame,
+      hasMerges: Boolean): DataFrame = {
+    if (!hasMerges) compact
+    else {
+      val P = "persoon:"
+      // raw-id form of the map: "persoon:X" -> "persoon:Y" becomes X -> Y
+      // (a cluster containing a persoon node always canonicalizes to a
+      // persoon node, so the canon side carries the prefix too)
+      val raw = persoonCanon.select(
+        expr(s"substring(node, ${P.length + 1})").as("k"),
+        expr(s"substring(canon, ${P.length + 1})").as("v"))
+      val subjMap = broadcast(raw.select(col("k").as("_sk"), col("v").as("_sv")))
+      val objMap = broadcast(raw.select(col("k").as("_ok"), col("v").as("_ov")))
+      compact
+        .join(subjMap, col("subj_pre") === P && col("a") === col("_sk"), "left")
+        .join(objMap, col("obj_pre") === P && col("b") === col("_ok"), "left")
+        .select(col("pred"),
+          coalesce(col("_sv"), col("a")).as("a"),
+          coalesce(col("_ov"), col("b")).as("b"),
+          col("subj_pre"), col("obj_pre"))
+    }
+  }
+
   /** Rewrite triple endpoints through the canonical map (two left joins;
     * un-mapped nodes stay themselves), then re-dedup. Identity edges created
     * by the rewrite (mention → its own canon via MATCHES_PERSOON) collapse to

@@ -257,6 +257,77 @@ object Materialize {
     written.count()
   }
 
+  /** FUSED initial graph write over the compact triple derivation
+    * (`Triples.allNonMentionCompact` rows, persoon endpoints already
+    * rewritten via `Canonicalize.rewriteCompact`) — the ONE-EXCHANGE form
+    * of `writeGraphInitial`, producing a byte-equivalent warehouse:
+    *
+    *  - The dedup rides the write-aligned exchange. Every copy of a
+    *    (pred, a, b) triple hashes to the same (bucket, sub-split)
+    *    partition — bucket is a function of (subj_pre, a) and the
+    *    sub-split of the triple — so a partition-local sort + lag-window
+    *    drops duplicates exactly like the separate `.distinct()` exchange
+    *    of the string path, without a second corpus-sized shuffle. The
+    *    sort is per-partition CPU (scales with cores); the removed
+    *    exchange was memory-bus bytes (does not).
+    *  - Key STRINGS are built after the dedup, inside the write stage —
+    *    they are never shuffled at all (the exchange carries compact ids).
+    *  - The deduped compact rows are lazily `localCheckpoint`ed, so the
+    *    node derivation re-reads ~id-sized blocks instead of re-decoding
+    *    the written string parquet (the string path's node pass was the
+    *    single most expensive write job). Node keys partial-aggregate in
+    *    the blocks scan; only distinct keys reach the node exchange.
+    *
+    * Overwrite semantics for both tables: a retried initial load is
+    * idempotent after any partial failure.
+    */
+  def writeGraphFused(spark: SparkSession, warehouse: String, compact: DataFrame,
+      nBuckets: Int = NBuckets, filesPerBucket: Int = 1): Long = {
+    val edgePath = s"$warehouse/edges"
+    val srcKey = concat(col("subj_pre"), col("a"))
+    val parted = compact
+      .withColumn("bucket", pmod(xxhash64(srcKey), lit(nBuckets)).cast("int"))
+      .withColumn("_sub",
+        pmod(xxhash64(col("pred"), col("a"), col("b"), lit(7)), lit(filesPerBucket)))
+      .repartition(nBuckets * filesPerBucket, col("bucket"), col("_sub"))
+    val w = Window.partitionBy("bucket", "_sub").orderBy("pred", "a", "b")
+    // first row of each (pred, a, b) run survives — all copies share the
+    // (bucket, _sub) partition, so the partition-local sort groups them
+    val deduped = parted
+      .withColumn("_dup", coalesce(
+        lag("pred", 1).over(w) === col("pred") &&
+          lag("a", 1).over(w) === col("a") &&
+          lag("b", 1).over(w) === col("b"), lit(false)))
+      .where(!col("_dup"))
+      .select("pred", "a", "b", "subj_pre", "obj_pre", "bucket")
+      .localCheckpoint(false)
+    val e = deduped.select(
+      substring_index(concat(col("subj_pre"), col("a")), ":", 1).as("src_label"),
+      concat(col("subj_pre"), col("a")).as("src_key"),
+      col("pred").as("rel_type"),
+      substring_index(concat(col("obj_pre"), col("b")), ":", 1).as("dst_label"),
+      concat(col("obj_pre"), col("b")).as("dst_key"),
+      col("bucket"))
+    // the checkpointed RDD preserves the aligned physical partitioning, so
+    // this dynamic-partition write still emits ~nBuckets × filesPerBucket
+    // files regardless of core count
+    e.write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(edgePath)
+    writeBucketMeta(spark, edgePath, nBuckets)
+    // nodes: distinct endpoint KEYS from the compact blocks (a key can be
+    // reached via different (prefix, id) splits — vote rows carry full
+    // keys with empty prefixes — so the distinct runs on the built key)
+    val keys = deduped.select(concat(col("subj_pre"), col("a")).as("key"))
+      .unionByName(deduped.select(concat(col("obj_pre"), col("b")).as("key")))
+      .distinct()
+    val nodeRows = keys
+      .select(substring_index(col("key"), ":", 1).as("label"), col("key"))
+      .withColumn("bucket", pmod(xxhash64(col("key")), lit(nBuckets)).cast("int"))
+    alignedForWrite(nodeRows, xxhash64(col("key")), nBuckets, filesPerBucket)
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(s"$warehouse/nodes")
+    writeBucketMeta(spark, s"$warehouse/nodes", nBuckets)
+    spark.read.parquet(edgePath).count()
+  }
+
   /** Materialize a triple set into `warehouse/{nodes,edges}` with endpoint
     * integrity enforced against the post-upsert node set. Set
     * `triplesDistinct` when the input is already a set (the canonical

@@ -19,13 +19,21 @@ import graft.triples.Triples
   */
 object Pipeline {
 
+  /** `canonicalCompact`: the same canonical triple set as `canonical`, in
+    * the pre-dedup compact form (`Triples.allNonMentionCompact` with
+    * persoon endpoints rewritten) — feed it to
+    * `Materialize.writeGraphFused`, whose write-aligned exchange performs
+    * the dedup. `canonical` remains the deduped string form for every
+    * other consumer.
+    */
   final case class Stages(
       turns: DataFrame,
       linkedPersons: DataFrame,
       linkedZaken: DataFrame,
       votes: DataFrame,
       triples: DataFrame,
-      canonical: DataFrame)
+      canonical: DataFrame,
+      canonicalCompact: DataFrame)
 
   /** `observeLink` lets callers attach `observe()` metrics to the link
     * output BEFORE it is checkpointed/consumed, so the counters ride the
@@ -91,6 +99,11 @@ object Pipeline {
       Triples.allNonMention(linkedPersons, linkedZaken, votes,
         Dict.personsDf(spark), Dict.fractiesDf(spark)),
       persoonCanon, hasMerges)
-    Stages(turns, linkedPersons, linkedZaken, votes, triples, canonical)
+    val canonicalCompact = Canonicalize.rewriteCompact(
+      Triples.allNonMentionCompact(linkedPersons, linkedZaken, votes,
+        Dict.personsDf(spark), Dict.fractiesDf(spark)),
+      persoonCanon, hasMerges)
+    Stages(turns, linkedPersons, linkedZaken, votes, triples, canonical,
+      canonicalCompact)
   }
 }

@@ -137,8 +137,12 @@ object Triples {
     * predicate-disjoint from the rest, so they bypass the exchange
     * entirely.
     */
-  def allNonMention(linkedPersons: DataFrame, linkedZaken: DataFrame,
-      voteMentions: DataFrame, persons: DataFrame, fracties: DataFrame): DataFrame = {
+  /** The raw (pred, a, b) branch union in COMPACT ID SPACE, pre-dedup —
+    * the single source of the branch list, shared by `allNonMention`
+    * (string path) and `allNonMentionCompact` (fused write path).
+    */
+  private def compactUnion(linkedPersons: DataFrame, linkedZaken: DataFrame,
+      persons: DataFrame): DataFrame = {
     val speakers = linkedPersons
       .select(col("conv_id"), col("turn_idx"), col("persoon_id").as("speaker"))
     def compactTri(pred: org.apache.spark.sql.Column,
@@ -162,7 +166,7 @@ object Triples {
           .join(z.select("conv_id", "turn_idx", "entity_id", "match_type"),
             Seq("conv_id", "turn_idx"))
     val events = Interruptions.detect(speakers)
-    val compact = compactTri(lit(Pred.SpokeIn), col("persoon_id"), col("conv_id"))(linkedPersons)
+    compactTri(lit(Pred.SpokeIn), col("persoon_id"), col("conv_id"))(linkedPersons)
       .unionByName(compactTri(
         when(col("match_type") === graft.model.MatchType.Exact, Pred.DiscussesZaak)
           .otherwise(Pred.DiscussesDossier),
@@ -174,21 +178,49 @@ object Triples {
       .unionByName(compactTri(lit(Pred.WasInterruptedIn), col("interrupted"), col("conv_id"))(events))
       .unionByName(compactTri(lit(Pred.RespondedIn), col("interrupted"), col("conv_id"))(
         events.where(col("itype") === InterruptionType.WithResponse)))
-      .distinct()
-    val convSubj = Seq(Pred.ContainsSpeaker, Pred.ContainsZaak)
-    val convObj = Seq(Pred.SpokeIn, Pred.InterruptedIn, Pred.WasInterruptedIn, Pred.RespondedIn)
-    val zaakObj = Seq(Pred.DiscussesZaak, Pred.DiscussesDossier)
-    val subjPrefix = when(col("pred").isin(convSubj: _*), C).otherwise(P)
-    val objPrefix = when(col("pred").isin(convObj: _*), C)
-      .when(col("pred").isin(zaakObj: _*), "zaak:")
+  }
+
+  /** Key-namespace prefix of the subject / object as a function of the
+    * predicate (the prefix pair is determined by the predicate, so id-space
+    * dedup ≡ string-space dedup).
+    */
+  private def subjPrefixCol: org.apache.spark.sql.Column =
+    when(col("pred").isin(Pred.ContainsSpeaker, Pred.ContainsZaak), C).otherwise(P)
+
+  private def objPrefixCol: org.apache.spark.sql.Column =
+    when(col("pred").isin(
+      Pred.SpokeIn, Pred.InterruptedIn, Pred.WasInterruptedIn, Pred.RespondedIn), C)
+      .when(col("pred").isin(Pred.DiscussesZaak, Pred.DiscussesDossier), "zaak:")
       .when(col("pred") === Pred.ContainsSpeaker, P)
       .when(col("pred") === Pred.ContainsZaak, "zaak:")
       .otherwise(F) // MEMBER_OF
-    compact.select(
-      concat(subjPrefix, col("a")).as("subj"), col("pred"),
-      concat(objPrefix, col("b")).as("obj"))
+
+  def allNonMention(linkedPersons: DataFrame, linkedZaken: DataFrame,
+      voteMentions: DataFrame, persons: DataFrame, fracties: DataFrame): DataFrame =
+    compactUnion(linkedPersons, linkedZaken, persons)
+      .distinct()
+      .select(
+        concat(subjPrefixCol, col("a")).as("subj"), col("pred"),
+        concat(objPrefixCol, col("b")).as("obj"))
       .unionByName(votes(voteMentions, fracties))
-  }
+
+  /** The full triple derivation in the FUSED-WRITE form: one row per raw
+    * (pred, a, b) occurrence (NO dedup exchange here) plus the namespace
+    * prefixes as data columns. Vote triples (unique by construction,
+    * predicate-disjoint) carry their full key strings with empty prefixes,
+    * so `concat(pre, id)` is the final key for every row. The consumer
+    * (`Materialize.writeGraphFused`) dedups this inside the write-aligned
+    * exchange — (pred, a, b) determines the prefixes, so a (pred, a, b)
+    * dedup is exactly `allNonMention`'s string-space distinct.
+    */
+  def allNonMentionCompact(linkedPersons: DataFrame, linkedZaken: DataFrame,
+      voteMentions: DataFrame, persons: DataFrame, fracties: DataFrame): DataFrame =
+    compactUnion(linkedPersons, linkedZaken, persons)
+      .select(col("pred"), col("a"), col("b"),
+        subjPrefixCol.as("subj_pre"), objPrefixCol.as("obj_pre"))
+      .unionByName(votes(voteMentions, fracties)
+        .select(col("pred"), col("subj").as("a"), col("obj").as("b"),
+          lit("").as("subj_pre"), lit("").as("obj_pre")))
 
   /** The full triple set. Inputs are the upstream stage outputs; dims are the
     * dictionary DataFrames. (The mention branch is unique by construction,
