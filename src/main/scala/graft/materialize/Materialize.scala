@@ -84,6 +84,13 @@ object Materialize {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** True when the warehouse already holds a node table — the
+    * initial-vs-incremental decision `writeGraph` makes, exposed so callers
+    * can route the initial load through `writeGraphFused`.
+    */
+  def graphExists(spark: SparkSession, warehouse: String): Boolean =
+    exists(spark, s"$warehouse/nodes")
+
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -281,25 +288,31 @@ object Materialize {
     * Overwrite semantics for both tables: a retried initial load is
     * idempotent after any partial failure.
     */
-  def writeGraphFused(spark: SparkSession, warehouse: String, compact: DataFrame,
-      nBuckets: Int = NBuckets, filesPerBucket: Int = 1): Long = {
-    val edgePath = s"$warehouse/edges"
+  /** The fused write's dedup-in-the-aligned-exchange plan, exposed for plan
+    * assertions: repartition on (bucket, sub-split) — both functions of the
+    * dedup key — then `distinct()`, which is EXCHANGE-FREE here: the hash
+    * aggregate's ClusteredDistribution(all columns) is satisfied by the
+    * existing HashPartitioning(bucket, _sub) — a subset of the grouping —
+    * and every copy of a (pred, a, b) triple shares (bucket, _sub), so the
+    * partition-local codegen'd hash agg IS a complete dedup (no sort, no
+    * window buffering, no second corpus shuffle).
+    */
+  private[graft] def alignedDedup(compact: DataFrame, nBuckets: Int,
+      filesPerBucket: Int): DataFrame = {
     val srcKey = concat(col("subj_pre"), col("a"))
-    val parted = compact
+    compact
       .withColumn("bucket", pmod(xxhash64(srcKey), lit(nBuckets)).cast("int"))
       .withColumn("_sub",
         pmod(xxhash64(col("pred"), col("a"), col("b"), lit(7)), lit(filesPerBucket)))
       .repartition(nBuckets * filesPerBucket, col("bucket"), col("_sub"))
-    val w = Window.partitionBy("bucket", "_sub").orderBy("pred", "a", "b")
-    // first row of each (pred, a, b) run survives — all copies share the
-    // (bucket, _sub) partition, so the partition-local sort groups them
-    val deduped = parted
-      .withColumn("_dup", coalesce(
-        lag("pred", 1).over(w) === col("pred") &&
-          lag("a", 1).over(w) === col("a") &&
-          lag("b", 1).over(w) === col("b"), lit(false)))
-      .where(!col("_dup"))
+      .distinct()
       .select("pred", "a", "b", "subj_pre", "obj_pre", "bucket")
+  }
+
+  def writeGraphFused(spark: SparkSession, warehouse: String, compact: DataFrame,
+      nBuckets: Int = NBuckets, filesPerBucket: Int = 1): Long = {
+    val edgePath = s"$warehouse/edges"
+    val deduped = alignedDedup(compact, nBuckets, filesPerBucket)
       .localCheckpoint(false)
     val e = deduped.select(
       substring_index(concat(col("subj_pre"), col("a")), ":", 1).as("src_label"),

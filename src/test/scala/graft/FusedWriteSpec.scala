@@ -72,6 +72,24 @@ class FusedWriteSpec extends SparkSpec {
     assertSameRows(readBack(s"$base/a/nodes"), readBack(s"$base/b/nodes"), "nodes")
   }
 
+  test("the fused dedup rides the aligned exchange — no shuffle on the dedup keys") {
+    val plan = Materialize.alignedDedup(stages.canonicalCompact, 8, 2)
+      .queryExecution.executedPlan.toString
+    // exactly one write-aligned exchange on (bucket, _sub) ...
+    val aligned = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(bucket"))
+    assert(aligned == 1, s"expected 1 aligned exchange, found $aligned:\n$plan")
+    // ... and the distinct() adds NO exchange of its own: no shuffle ever
+    // partitions on the dedup key columns (the only other exchanges are the
+    // small per-conversation interruption windows inside the derivation)
+    val dedupExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("subj_pre"))
+    assert(dedupExchanges == 0, s"dedup added its own exchange:\n$plan")
+    // the dedup itself plans as hash aggregation directly over the aligned
+    // exchange (partial+final in one stage), not as sort+window
+    assert(plan.contains("HashAggregate"), s"no hash-agg dedup in plan:\n$plan")
+  }
+
   test("fused write file count is the aligned fan-out, independent of cores") {
     val base = java.nio.file.Files.createTempDirectory("fused-files").toString
     Materialize.writeGraphFused(spark, s"$base/w",
