@@ -156,28 +156,68 @@ object Triples {
     // join. Plain linker output (direct callers) falls back to the
     // (conv_id, turn_idx) equi-join; both produce the same pairs because
     // the carried columns ARE the zaak link of the same turn row.
-    val discussesIn =
+    def discussesPred(matchType: org.apache.spark.sql.Column) =
+      when(matchType === graft.model.MatchType.Exact, Pred.DiscussesZaak)
+        .otherwise(Pred.DiscussesDossier)
+    // SPOKE_IN + CONTAINS_SPEAKER (+ DISCUSSES in carry mode) from ONE scan
+    // of the linked blocks: each linker row emits its 2-3 compact triples
+    // via an exploded struct array instead of one scan per branch — at
+    // corpus scale the repeated block scans are pure memory traffic
+    val linkedTris =
       if (linkedPersons.columns.contains("z_entity_id"))
-        linkedPersons.where(col("z_entity_id").isNotNull)
-          .select(col("persoon_id"), col("z_entity_id").as("entity_id"),
-            col("z_match_type").as("match_type"))
-      else
-        linkedPersons.select("conv_id", "turn_idx", "persoon_id")
+        // the third struct's pred is NULL when the row carries no zaak link;
+        // those sentinel rows are filtered right after the explode
+        linkedPersons.select(explode(array(
+          struct(lit(Pred.SpokeIn).as("pred"),
+            col("persoon_id").as("a"), col("conv_id").as("b")),
+          struct(lit(Pred.ContainsSpeaker).as("pred"),
+            col("conv_id").as("a"), col("persoon_id").as("b")),
+          struct(when(col("z_entity_id").isNotNull,
+            discussesPred(col("z_match_type"))).as("pred"),
+            col("persoon_id").as("a"), col("z_entity_id").as("b")))).as("t"))
+          .select(col("t.pred").as("pred"), col("t.a").as("a"), col("t.b").as("b"))
+          .where(col("pred").isNotNull)
+      else {
+        // plain linker output: DISCUSSES falls back to the co-partitioned
+        // (conv_id, turn_idx) equi-join against the zaak links
+        val discusses = linkedPersons.select("conv_id", "turn_idx", "persoon_id")
           .join(z.select("conv_id", "turn_idx", "entity_id", "match_type"),
             Seq("conv_id", "turn_idx"))
+          .select(discussesPred(col("match_type")).as("pred"),
+            col("persoon_id").as("a"), col("entity_id").as("b"))
+        linkedPersons.select(explode(array(
+          struct(lit(Pred.SpokeIn).as("pred"),
+            col("persoon_id").as("a"), col("conv_id").as("b")),
+          struct(lit(Pred.ContainsSpeaker).as("pred"),
+            col("conv_id").as("a"), col("persoon_id").as("b")))).as("t"))
+          .select(col("t.pred").as("pred"), col("t.a").as("a"), col("t.b").as("b"))
+          .unionByName(discusses)
+      }
     val events = Interruptions.detect(speakers)
-    compactTri(lit(Pred.SpokeIn), col("persoon_id"), col("conv_id"))(linkedPersons)
-      .unionByName(compactTri(
-        when(col("match_type") === graft.model.MatchType.Exact, Pred.DiscussesZaak)
-          .otherwise(Pred.DiscussesDossier),
-        col("persoon_id"), col("entity_id"))(discussesIn))
-      .unionByName(compactTri(lit(Pred.ContainsSpeaker), col("conv_id"), col("persoon_id"))(linkedPersons))
+    // ONE pass over the interruption events for all three predicates: the
+    // three per-branch forms each re-planned the per-conversation
+    // sort+window subtree (3× the window work inside the consuming job);
+    // exploding an array of (pred, a, b) structs emits the same rows from
+    // a single window pass
+    val interruptionTris = events.select(explode(when(
+      col("itype") === InterruptionType.WithResponse,
+      array(
+        struct(lit(Pred.InterruptedIn).as("pred"),
+          col("interrupter").as("a"), col("conv_id").as("b")),
+        struct(lit(Pred.WasInterruptedIn).as("pred"),
+          col("interrupted").as("a"), col("conv_id").as("b")),
+        struct(lit(Pred.RespondedIn).as("pred"),
+          col("interrupted").as("a"), col("conv_id").as("b"))))
+      .otherwise(array(
+        struct(lit(Pred.InterruptedIn).as("pred"),
+          col("interrupter").as("a"), col("conv_id").as("b")),
+        struct(lit(Pred.WasInterruptedIn).as("pred"),
+          col("interrupted").as("a"), col("conv_id").as("b"))))).as("t"))
+      .select(col("t.pred").as("pred"), col("t.a").as("a"), col("t.b").as("b"))
+    linkedTris
       .unionByName(compactTri(lit(Pred.ContainsZaak), col("conv_id"), col("entity_id"))(z))
       .unionByName(compactTri(lit(Pred.MemberOf), col("persoon_id"), col("fractie_id"))(persons))
-      .unionByName(compactTri(lit(Pred.InterruptedIn), col("interrupter"), col("conv_id"))(events))
-      .unionByName(compactTri(lit(Pred.WasInterruptedIn), col("interrupted"), col("conv_id"))(events))
-      .unionByName(compactTri(lit(Pred.RespondedIn), col("interrupted"), col("conv_id"))(
-        events.where(col("itype") === InterruptionType.WithResponse)))
+      .unionByName(interruptionTris)
   }
 
   /** Key-namespace prefix of the subject / object as a function of the
