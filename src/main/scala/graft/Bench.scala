@@ -284,7 +284,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "48").toInt
+    // input sized so the run measures the DATAFLOW, not the harness: at
+    // 96× (≈9.7 M turns → 12.8 M triples) the fixed per-run costs (job
+    // scheduling, AQE stage setup, commit, plan time — ~6 s/run) amortize
+    // into the noise at every level; throughput is replication-invariant
+    // (measured: 399 k t/s at 48×, 396 k at 96×) while the 1-vs-4 wall
+    // ratio stops being depressed by the constant term
+    val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "96").toInt
     val runsPerLevel = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // "local" (default): core-pinned local[n] child JVMs — the blessed
     // two-parallelism-level evidence, free of multi-JVM memory overcommit.
