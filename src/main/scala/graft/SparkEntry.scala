@@ -69,6 +69,19 @@ object SparkEntry {
       regexp_replace(col("text"), "\\s+\\S+$", "").as("text")))
   }
 
+  /** embeddings ∪ ×1.5-scaled copy (planted near-duplicates for the
+    * embedding-cosine dedup operator; mirrors DataOpsSql.embNearSql).
+    * Scaling preserves direction — cosine 1 up to shared rounding — and
+    * every hyperplane sign, so each planted pair is a same-bucket LSH
+    * candidate in every table.
+    */
+  private def embNear(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    e.unionByName(e.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"), x => x * 1.5).as("embedding")))
+  }
+
   /** Synthesized activity-matching sides (shared by kg_activity_match and
     * the J7 zaak-union query): per-conversation XML activity + 3 API
     * candidates, with a soort-alias row (xml 'sluiting' vs api containing
@@ -305,6 +318,13 @@ object SparkEntry {
     // Dedup: SimHash near-dup pairs via 8-bit band join
     "td_simhash_pairs" -> ((s, dir) => {
       graft.dataops.Dedup.simhashPairs(corpusNear(s, dir), 3).orderBy("doc_a", "doc_b")
+    }),
+
+    // Dedup: embedding-cosine near-dup pairs (LSH-bucketed candidates →
+    // exact fixed-point cosine ≥ 0.9) over the planted near-dup corpus
+    "td_embed_dup_pairs" -> ((s, dir) => {
+      graft.dataops.Dedup.embeddingDupPairs(
+        embNear(s, dir), 900000L, AnnBits, AnnTables).orderBy("doc_a", "doc_b")
     }),
 
     // Similarity: brute-force cosine top-k (exact baseline)
@@ -695,6 +715,10 @@ object SparkEntry {
     "td_simhash_pairs" -> DataOpsSql.withDocCtes(
       DataOpsSql.nearCorpusCte, DataOpsSql.simhashCte, DataOpsSql.simhashPairsCte(3))(
       "SELECT doc_a, doc_b, hamming FROM simhash_pairs ORDER BY doc_a, doc_b"),
+
+    "td_embed_dup_pairs" -> DataOpsSql.withDocCtes(
+      DataOpsSql.embedDupPairsCte(900000L, AnnBits, AnnTables, 64))(
+      "SELECT doc_a, doc_b, cos_1e6 FROM embed_dup_pairs ORDER BY doc_a, doc_b"),
 
     "td_ann_topk" -> DataOpsSql.withDocCtes(
       DataOpsSql.annPairsCte, DataOpsSql.annTopKCte(5))(

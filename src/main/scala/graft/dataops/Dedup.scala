@@ -196,4 +196,25 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Embedding-cosine near-duplicate pairs — the semantic member of the
+    * dedup family: unordered (doc_a < doc_b) pairs whose exact cosine
+    * similarity reaches `minCos1e6` (1e-6 fixed point), with candidate
+    * generation by multi-table sign-LSH ([[Similarity.candidates]]) so the
+    * pair join shuffles on (table, bucket) keys — never all-pairs. A true
+    * near-duplicate (cosine → 1) agrees with every hyperplane sign of its
+    * original, so it shares the bucket in EVERY table — exactly the regime
+    * where sign-LSH recall approaches 1 (the operator's target pairs, unlike
+    * the isotropic far-pair regime measured by `td_ann_lsh_recall`).
+    * Verification is the exact fixed-point cosine on the candidate set, so
+    * every emitted pair is a true ≥-threshold pair (no false positives).
+    */
+  def embeddingDupPairs(embeddings: DataFrame, minCos1e6: Long,
+      nBits: Int = 16, nTables: Int = 8, dim: Int = 64): DataFrame =
+    Similarity.candidates(embeddings, dim, nBits, nTables)
+      .where(col("vec_id") < col("neighbor_id"))
+      .select(col("vec_id").as("doc_a"), col("neighbor_id").as("doc_b"),
+        floor(Similarity.cosine(col("emb"), col("emb_r")) * 1e6)
+          .cast("long").as("cos_1e6"))
+      .where(col("cos_1e6") >= minCos1e6)
 }

@@ -119,6 +119,19 @@ object MentionExtract {
   private val KindReactie = UTF8String.fromString("reactie")
   private val Empty = UTF8String.EMPTY_UTF8
 
+  // byte-level gate literals (all ASCII): UTF8String.contains/startsWith do
+  // raw byte search, and an ASCII needle can neither false-match inside a
+  // multi-byte UTF-8 char (continuation bytes are >= 0x80) nor miss a true
+  // char-level match — so each gate is EXACTLY String.contains/startsWith
+  // on the decoded text, evaluated without materializing it
+  private val LitWoordAan = UTF8String.fromString("het woord aan ")
+  private val LitMevrouw = UTF8String.fromString("Mevrouw ")
+  private val LitDeHeer = UTF8String.fromString("De heer ")
+  private val LitReactie = UTF8String.fromString(" vraagt een reactie")
+  private val LitDossier = UTF8String.fromString("dossier ")
+  private val LitDeFractie = UTF8String.fromString("De fractie ")
+  private val LitStemt = UTF8String.fromString(" stemt ")
+
   private def utf8(s: String): UTF8String =
     if (s.isEmpty) Empty else UTF8String.fromString(s)
 
@@ -126,6 +139,25 @@ object MentionExtract {
     * argument vs the regexp_extract column graph.
     */
   def extract(text: UTF8String): GenericInternalRow = {
+    // Literal gates on the RAW UTF8String bytes, before any allocation.
+    // Each mention type's regex requires its literal, so a row where no
+    // gate holds can only ever produce null: isSpeaker needs one of the
+    // four speaker literals, isCase needs "dossier ", isVote needs both
+    // vote literals — whether or not the turn is also procedural, the
+    // result is null either way, so the procedural regex (the most
+    // expensive pattern) and the char[] conversion are skipped entirely.
+    // On the bench corpus ~40% of turns (procedural + filler templates)
+    // take this zero-allocation exit.
+    val gWoord = text.contains(LitWoordAan)
+    val gMevrouw = text.startsWith(LitMevrouw)
+    val gHeer = text.startsWith(LitDeHeer)
+    val gReactie = text.contains(LitReactie)
+    val gDossier = text.contains(LitDossier)
+    val gStemt = text.contains(LitStemt)
+    val gVote = gStemt && text.startsWith(LitDeFractie)
+    if (!(gWoord || gMevrouw || gHeer || gReactie || gDossier || gVote))
+      return null
+
     val s = text.toString // the ONE String conversion for this row
     val ms = matchers.get()
     // procedural turns are dropped before any mention logic (P4)
@@ -139,13 +171,13 @@ object MentionExtract {
     var full = ""
     var spreekt = ""
     var inter = ""
-    val woord = if (s.contains("het woord aan ")) find(ms, 1, s) else ""
+    val woord = if (gWoord) find(ms, 1, s) else ""
     if (woord.nonEmpty) { kind = KindWoord; full = woord }
     else {
-      spreekt = if (s.startsWith("Mevrouw ")) anchored(ms, 2, s) else ""
+      spreekt = if (gMevrouw) anchored(ms, 2, s) else ""
       if (spreekt.isEmpty)
-        inter = if (s.startsWith("De heer ")) anchored(ms, 3, s) else ""
-      val reactie = if (s.contains(" vraagt een reactie")) anchored(ms, 4, s) else ""
+        inter = if (gHeer) anchored(ms, 3, s) else ""
+      val reactie = if (gReactie) anchored(ms, 4, s) else ""
       full = reactie
       kind =
         if (spreekt.nonEmpty) KindSpreekt
@@ -158,11 +190,11 @@ object MentionExtract {
     if (full.nonEmpty) { vFirst = anchored(ms, 5, full); vLast = anchored(ms, 6, full) }
     else vLast = if (spreekt.nonEmpty) spreekt else inter
 
-    val dossier = if (s.contains("dossier ")) find(ms, 7, s) else ""
+    val dossier = if (gDossier) find(ms, 7, s) else ""
     val stuk = if (s.contains("nr. ")) find(ms, 8, s) else ""
     var fractie = ""
     var vote = ""
-    if (s.contains(" stemt ")) { // both vote patterns require the literal
+    if (gStemt) { // both vote patterns require the literal
       fractie = anchored(ms, 9, s)
       vote = find(ms, 10, s)
     }

@@ -175,11 +175,12 @@ object DataOpsSql {
   /** Multi-table sign-LSH buckets + deduped candidate pairs (mirrors
     * Similarity.lshTopK: same bucket in ANY table ⇒ candidate).
     */
-  private def lshCandCtes(nBits: Int, nTables: Int, dim: Int): String = {
+  private def lshCandCtes(nBits: Int, nTables: Int, dim: Int,
+      embSql: String = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings"): String = {
     val hp = graft.dataops.Similarity.hyperplanes(dim, nBits, nTables)
     val branches = (0 until nTables).map(t =>
       s"SELECT vec_id, e, $t AS tbl, ${tableBucketSql(hp(t), "e")} AS bucket FROM emb")
-    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""emb AS ($embSql),
        |lsh_b AS (
        |  ${branches.mkString("\n  UNION ALL ")}),
        |lsh_cand AS (
@@ -200,6 +201,33 @@ object DataOpsSql {
        |                                 ORDER BY cos_1e6 DESC, neighbor_id) AS rank
        |    FROM $pairs)
        |  WHERE rank <= $k)""".stripMargin
+
+  /** Embedding corpus with PLANTED near-duplicates: embeddings ∪ a ×1.5
+    * scaled copy (`vec_id + 1000000`). Scaling preserves direction exactly —
+    * cosine(a, 1.5a) folds to 1 up to a shared rounding both engines compute
+    * identically — and leaves every hyperplane sign unchanged, so each
+    * planted pair is a same-bucket candidate in EVERY LSH table (mirrors
+    * SparkEntry.embNear).
+    */
+  val embNearSql: String =
+    """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+      |  FROM embeddings""".stripMargin
+
+  /** Embedding-cosine near-dup pairs over the planted corpus (mirrors
+    * Dedup.embeddingDupPairs: LSH candidates → exact fixed-point cosine
+    * ≥ threshold, canonical doc_a < doc_b ordering).
+    */
+  def embedDupPairsCte(minCos1e6: Long, nBits: Int, nTables: Int, dim: Int): String =
+    s"""${lshCandCtes(nBits, nTables, dim, embNearSql)},
+       |embed_dup_pairs AS (
+       |  SELECT c.vec_id AS doc_a, c.neighbor_id AS doc_b, $cosPairSql AS cos_1e6
+       |  FROM lsh_cand c
+       |  JOIN emb a ON c.vec_id = a.vec_id
+       |  JOIN emb b ON c.neighbor_id = b.vec_id
+       |  WHERE c.vec_id < c.neighbor_id
+       |    AND $cosPairSql >= $minCos1e6)""".stripMargin
 
   def annLshTopKCte(k: Int, nBits: Int, nTables: Int, dim: Int): String =
     s"""${lshCandCtes(nBits, nTables, dim)},

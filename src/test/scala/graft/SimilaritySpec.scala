@@ -115,6 +115,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embeddingDupPairs finds every planted scaled duplicate (recall 1 by construction)") {
+    // plant a ×1.5-scaled copy of every vector (direction — and so every
+    // hyperplane sign — preserved): each planted pair must surface as a
+    // same-bucket candidate in every table and pass the exact-cosine check
+    val base = clustered()
+    val n = NClusters * PerCluster
+    val planted = base.selectExpr(s"vec_id + $n AS vec_id",
+      "transform(cast(embedding as array<double>), x -> x * 1.5d) AS embedding")
+    val corpus = base.selectExpr("vec_id", "cast(embedding as array<double>) AS embedding")
+      .unionByName(planted)
+    val pairs = graft.dataops.Dedup
+      .embeddingDupPairs(corpus, 999000L, nBits = 16, nTables = 8, dim = Dim)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    (0 until n).foreach { i =>
+      assert(pairs.contains((i.toLong, (i + n).toLong)),
+        s"planted near-dup pair ($i, ${i + n}) missing")
+    }
+    // and no false positives below the threshold by construction of the op:
+    // every emitted pair re-verifies with exact cosine
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
   test("lshTopK output is a subset of candidate-pair cosines with correct ranks") {
     val df = clustered()
     val top = Similarity.lshTopK(df, k = 3, nBits = 16, nTables = 8, dim = Dim)
