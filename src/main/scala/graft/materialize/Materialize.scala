@@ -297,6 +297,29 @@ object Materialize {
     * partition-local codegen'd hash agg IS a complete dedup (no sort, no
     * window buffering, no second corpus shuffle).
     */
+  /** Exchange payload compression: the (pred, subj_pre, obj_pre) string
+    * triple of a compact row is drawn from the CLOSED 12-entry vocabulary
+    * (`Triples.compactVocab` — the prefixes are functions of the
+    * predicate), so the exchange ships one small int instead of three
+    * strings per row (~half the shuffled bytes — shuffle traffic is the
+    * per-node memory-system cost that does NOT scale with cores on one
+    * socket). Encoded pre-exchange with a fail-fast on any predicate
+    * outside the vocabulary; decoded right after the dedup.
+    */
+  private def predCode: org.apache.spark.sql.Column =
+    graft.triples.Triples.compactVocab.zipWithIndex.foldRight(
+      raise_error(concat(lit("unknown pred in fused write: "), col("pred")))
+        .cast("int")) { case (((p, _, _), i), acc) =>
+      when(col("pred") === p, lit(i)).otherwise(acc)
+    }
+
+  private def decodeCode(field: ((String, String, String)) => String,
+      out: String): org.apache.spark.sql.Column =
+    graft.triples.Triples.compactVocab.zipWithIndex.tail.foldRight(
+      lit(field(graft.triples.Triples.compactVocab.head))) {
+      case ((v, i), acc) => when(col("_pc") === i, lit(field(v))).otherwise(acc)
+    }.as(out)
+
   private[graft] def alignedDedup(compact: DataFrame, nBuckets: Int,
       filesPerBucket: Int): DataFrame = {
     val srcKey = concat(col("subj_pre"), col("a"))
@@ -304,9 +327,14 @@ object Materialize {
       .withColumn("bucket", pmod(xxhash64(srcKey), lit(nBuckets)).cast("int"))
       .withColumn("_sub",
         pmod(xxhash64(col("pred"), col("a"), col("b"), lit(7)), lit(filesPerBucket)))
+      .withColumn("_pc", predCode)
+      // (_pc ↔ pred is a bijection and the prefixes are functions of pred,
+      // so the coded distinct is exactly the string-space distinct)
+      .select("_pc", "a", "b", "bucket", "_sub")
       .repartition(nBuckets * filesPerBucket, col("bucket"), col("_sub"))
       .distinct()
-      .select("pred", "a", "b", "subj_pre", "obj_pre", "bucket")
+      .select(decodeCode(_._1, "pred"), col("a"), col("b"),
+        decodeCode(_._2, "subj_pre"), decodeCode(_._3, "obj_pre"), col("bucket"))
   }
 
   def writeGraphFused(spark: SparkSession, warehouse: String, compact: DataFrame,

@@ -220,6 +220,28 @@ object Triples {
       .unionByName(interruptionTris)
   }
 
+  /** The closed (pred, subj_pre, obj_pre) vocabulary of compact triple rows
+    * — the prefix pair is a FUNCTION of the predicate (mention/vote rows
+    * carry full keys with empty prefixes), which is what lets
+    * `Materialize.alignedDedup` dictionary-encode the whole string triple
+    * to one small int for the write-aligned exchange and decode it back
+    * after the dedup. Mirrors `subjPrefixCol`/`objPrefixCol` below; the
+    * agreement is pinned by FusedWriteSpec's warehouse-equality assertions.
+    */
+  val compactVocab: Seq[(String, String, String)] = Seq(
+    (Pred.SpokeIn, P, C),
+    (Pred.DiscussesZaak, P, "zaak:"),
+    (Pred.DiscussesDossier, P, "zaak:"),
+    (Pred.InterruptedIn, P, C),
+    (Pred.WasInterruptedIn, P, C),
+    (Pred.RespondedIn, P, C),
+    (Pred.MemberOf, P, F),
+    (Pred.ContainsSpeaker, C, P),
+    (Pred.ContainsZaak, C, "zaak:"),
+    (Pred.HasFractieVote, "", ""),
+    (Pred.CastByFractie, "", ""),
+    (Pred.MatchesPersoon, "", ""))
+
   /** Key-namespace prefix of the subject / object as a function of the
     * predicate (the prefix pair is determined by the predicate, so id-space
     * dedup ≡ string-space dedup).

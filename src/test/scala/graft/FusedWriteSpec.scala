@@ -90,6 +90,23 @@ class FusedWriteSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), s"no hash-agg dedup in plan:\n$plan")
   }
 
+  test("the aligned exchange ships the coded payload — no pred/prefix strings") {
+    // the dedup aggregate keys over the exchange are the CODED columns:
+    // (_pc, a, b, bucket, _sub) — the pred/prefix strings exist only in the
+    // post-dedup decode projection, so they never cross the shuffle
+    val plan = Materialize.alignedDedup(stages.canonicalCompact, 8, 2)
+      .queryExecution.executedPlan.toString
+    val aggKeys = plan.linesIterator
+      .filter(_.contains("HashAggregate(keys=["))
+      .map(l => l.substring(l.indexOf("keys=[") + 6, l.indexOf("]", l.indexOf("keys=["))))
+      .toSeq
+    assert(aggKeys.nonEmpty, s"no hash-agg dedup found:\n$plan")
+    aggKeys.foreach { k =>
+      assert(k.contains("_pc") && !k.contains("pred#") && !k.contains("_pre"),
+        s"dedup keys carry string columns: $k")
+    }
+  }
+
   test("fused write file count is the aligned fan-out, independent of cores") {
     val base = java.nio.file.Files.createTempDirectory("fused-files").toString
     Materialize.writeGraphFused(spark, s"$base/w",
