@@ -320,7 +320,13 @@ object Materialize {
       case ((v, i), acc) => when(col("_pc") === i, lit(field(v))).otherwise(acc)
     }.as(out)
 
-  private[graft] def alignedDedup(compact: DataFrame, nBuckets: Int,
+  /** Coded form of the aligned dedup — (_pc, a, b, bucket), still hash-
+    * partitioned on (bucket, _sub). Kept coded so `writeGraphFused` can
+    * checkpoint the SMALL representation (the decode is a few codegen'd
+    * comparisons per row, re-running it per consumer is free; re-reading
+    * string blocks is memory traffic).
+    */
+  private[graft] def alignedDedupCoded(compact: DataFrame, nBuckets: Int,
       filesPerBucket: Int): DataFrame = {
     val srcKey = concat(col("subj_pre"), col("a"))
     compact
@@ -333,15 +339,24 @@ object Materialize {
       .select("_pc", "a", "b", "bucket", "_sub")
       .repartition(nBuckets * filesPerBucket, col("bucket"), col("_sub"))
       .distinct()
-      .select(decodeCode(_._1, "pred"), col("a"), col("b"),
-        decodeCode(_._2, "subj_pre"), decodeCode(_._3, "obj_pre"), col("bucket"))
+      .select("_pc", "a", "b", "bucket")
   }
+
+  private def decoded(coded: DataFrame): DataFrame =
+    coded.select(decodeCode(_._1, "pred"), col("a"), col("b"),
+      decodeCode(_._2, "subj_pre"), decodeCode(_._3, "obj_pre"), col("bucket"))
+
+  private[graft] def alignedDedup(compact: DataFrame, nBuckets: Int,
+      filesPerBucket: Int): DataFrame =
+    decoded(alignedDedupCoded(compact, nBuckets, filesPerBucket))
 
   def writeGraphFused(spark: SparkSession, warehouse: String, compact: DataFrame,
       nBuckets: Int = NBuckets, filesPerBucket: Int = 1): Long = {
     val edgePath = s"$warehouse/edges"
-    val deduped = alignedDedup(compact, nBuckets, filesPerBucket)
-      .localCheckpoint(false)
+    // checkpoint the CODED rows: both consumers (edge write, node
+    // derivation) re-read ~id-sized blocks and decode in their own codegen
+    val deduped = decoded(
+      alignedDedupCoded(compact, nBuckets, filesPerBucket).localCheckpoint(false))
     val e = deduped.select(
       substring_index(concat(col("subj_pre"), col("a")), ":", 1).as("src_label"),
       concat(col("subj_pre"), col("a")).as("src_key"),
