@@ -213,6 +213,34 @@ object Bench {
     (line("ALU "), line("MEM "))
   }
 
+  /** Pure-compute Spark CONTROL in a dedicated child JVM, pinned exactly
+    * like the dataflow child at the same level (n worker cores + 1 driver
+    * core, ActiveProcessorCount=n+1): a codegen'd `range → xxhash64 →
+    * bit_xor` aggregation — no strings, no parquet, trivially cache-resident.
+    * Run INSIDE each interleaved pair's noise window, it separates the
+    * protocol/framework from the dataflow on the record: if the control
+    * scales ~0.9 in the same window where the string/parquet dataflow
+    * scales ~0.7, the gap is the shared L3/memory system, not the harness.
+    * Returns the min-of-runs wall seconds (same estimator as the pair).
+    */
+  private def runControl(n: Int, runs: Int): Double = {
+    val extra = sys.env.getOrElse("SPARK_GRAFT_DRIVER_CORE", "1").toInt
+    val pinned = math.min(n + extra, Runtime.getRuntime.availableProcessors())
+    val errFile = java.io.File.createTempFile(s"bench-ctrl-$n-", ".log")
+    val cmd = Seq("taskset", "-c", s"0-${pinned - 1}", javaBin) ++ jdk17AddOpens ++
+      Seq("-Xmx4g", s"-XX:ActiveProcessorCount=${n + 1}",
+        "-Dspark.ui.enabled=false", "-cp", classpath,
+        "graft.ComputeControl", n.toString, runs.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectError(errFile)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    val rc = proc.waitFor()
+    require(rc == 0, s"compute control n=$n failed rc=$rc")
+    errFile.delete()
+    out.linesIterator.filter(_.startsWith("CTRL ")).map(_.trim.split("\\s+")(2).toDouble).min
+  }
+
   /** Run one level's child driver process; parse its RUN lines. */
   private def runChild(masterUrl: String, n: Int, driverPin: String,
       inputDir: String, warmDir: String, runs: Int, probe: (Double, Double)): LevelResult = {
@@ -340,10 +368,21 @@ object Bench {
     // and taking it symmetrically on both sides cannot bias the ratio. All
     // samples are emitted (per-pair minima + per-level min/max).
     val pairSamples = sys.env.getOrElse("SPARK_GRAFT_PAIR_SAMPLES", "2").toInt
-    val (pairs, hiResults) = withMaster {
-      val p = (1 to runsPerLevel).map(_ => (measure(1, pairSamples), measure(4, pairSamples)))
+    // each pair also carries an in-window pure-compute CONTROL pair (see
+    // runControl): dataflow ratio and control ratio sampled under the SAME
+    // host noise, so the artifact itself shows the harness/framework scale
+    // and the dataflow's residual gap is attributable to shared hardware
+    val ctrlRuns = sys.env.getOrElse("SPARK_GRAFT_CTRL_RUNS", "2").toInt
+    val (pairs, ctrlPairs, hiResults) = withMaster {
+      val pc = (1 to runsPerLevel).map { _ =>
+        val d = (measure(1, pairSamples), measure(4, pairSamples))
+        val c =
+          if (ctrlRuns > 0 && mode != "cluster") Some((runControl(1, ctrlRuns), runControl(4, ctrlRuns)))
+          else None
+        (d, c)
+      }
       val h = hiLevels.map(l => measure(l, runsPerLevel))
-      (p, h)
+      (pc.map(_._1), pc.flatMap(_._2), h)
     }
 
     val allResults = pairs.flatMap(p => Seq(p._1, p._2)) ++ hiResults
@@ -412,10 +451,18 @@ object Bench {
         s"pair${i + 1}_min_sec@1" -> pairs(i)._1.minSec,
         s"pair${i + 1}_min_sec@4" -> pairs(i)._2.minSec)
     }.toMap
+    // in-window pure-compute control: per-pair wall ratio + median
+    val ctrlEffs = ctrlPairs.map { case (t1, t4) => (t1 / t4) / 4.0 }
+    val ctrlKeys = ctrlEffs.zipWithIndex.map { case (e, i) =>
+      s"eff_wall_control_pair${i + 1}" -> e
+    }.toMap ++
+      (if (ctrlEffs.nonEmpty)
+        Map("scaling_efficiency_compute_control" -> med(ctrlEffs))
+      else Map.empty[String, Double])
     // The PLAIN scaling_efficiency key is the measured WALL ratio (ADVICE
     // r2: a consumer reading the key alone must see the measured number);
     // the clock-probe-normalized value is emitted under an explicit name.
-    val qs = (perLevel ++ pairKeys ++ Map(
+    val qs = (perLevel ++ pairKeys ++ ctrlKeys ++ Map(
       "scaling_efficiency" -> effLowWall,
       "scaling_efficiency_cycle_norm" -> effLow,
       "clock_ratio_1_4" -> clockLow,
@@ -437,7 +484,7 @@ object Bench {
        else "1 vs 4 cores") +
         s"; headline = median of $runsPerLevel INTERLEAVED 1-core/4-core pairs (each ratio inside one host-noise window; per-pair ratios emitted as eff_wall_pair*/eff_cycle_pair*)"
     println(
-      s"""{"metric":"end-to-end triples/sec (extract->link->canonicalize->materialize), $modeDesc, median-of-$runsPerLevel per level, scaling $pairDesc; scaling_efficiency is the MEASURED WALL ratio; the in-run per-core ALU clock probe's normalized value (clock ratio ${f"$clockLow%.2f"}x this run; a real N->4N cluster adds machines at identical clocks) is emitted separately as scaling_efficiency_cycle_norm; in-run probes emitted per level (alu=clock, mem=streaming bandwidth) show where the single shared L3/memory system caps string-dataflow wall scaling on this one-socket box (BASELINE.md has the full measured diagnosis: pure-compute Spark scales 0.91 here, the capped resource is per-node on a real cluster)","value":${f"$tpsTop%.2f"},"unit":"triples/sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"end-to-end triples/sec (extract->link->canonicalize->materialize), $modeDesc, median-of-$runsPerLevel per level, scaling $pairDesc; scaling_efficiency is the MEASURED WALL ratio; the in-run per-core ALU clock probe's normalized value (clock ratio ${f"$clockLow%.2f"}x this run; a real N->4N cluster adds machines at identical clocks) is emitted separately as scaling_efficiency_cycle_norm; in-run probes emitted per level (alu=clock, mem=streaming bandwidth) plus an IN-WINDOW pure-compute Spark control pair (codegen range->xxhash64->bit_xor, same pinning; emitted as scaling_efficiency_compute_control / eff_wall_control_pair*) show where the single shared L3/memory system caps string-dataflow wall scaling on this one-socket box (BASELINE.md has the full measured diagnosis; the capped resource is per-node on a real cluster)","value":${f"$tpsTop%.2f"},"unit":"triples/sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }
 
@@ -555,6 +602,46 @@ object BenchChild {
         println(f"RUN $cnt $total%.4f $b%.4f $wr%.4f")
       } finally s.stop()
     }
+  }
+}
+
+/** Pure-compute Spark control job (see Bench.runControl): the SAME engine,
+  * session config and pinning as the dataflow child at the same level, but a
+  * workload with no strings, no parquet and no shuffle payload — a codegen'd
+  * whole-stage `range → xxhash64 → bit_xor` aggregate whose working set is a
+  * few registers per row. On hardware that scales, this pairs at ~0.9+;
+  * emitted per pair so the dataflow's gap to it is measured inside the same
+  * host-noise window. Prints `CTRL <n> <sec>` per measured run (after a
+  * same-shape codegen warm-up), parent takes the min.
+  */
+object ComputeControl {
+  def main(args: Array[String]): Unit = {
+    val n = args(0).toInt
+    val runs = args(1).toInt
+    // sized so the 4-core side (~4-5 s) still dwarfs per-job scheduling
+    // overhead (~0.1 s) — a too-short control would understate its own ratio
+    val rows = sys.env.getOrElse("SPARK_GRAFT_CTRL_ROWS", "8000000000").toLong
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master(s"local[$n]")
+      .config("spark.sql.shuffle.partitions", (4 * n).toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", s"${Bench.ShmRoot}/local")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    def job(total: Long): Long =
+      spark.range(0L, total, 1L, 4 * n)
+        .select(xxhash64(col("id")).as("h"))
+        .agg(bit_xor(col("h"))).head().getLong(0)
+    job(rows / 64) // codegen + JIT warm (same generated source)
+    (1 to runs).foreach { _ =>
+      val t0 = System.nanoTime()
+      job(rows)
+      println(f"CTRL $n ${(System.nanoTime() - t0) / 1e9}%.4f")
+    }
+    spark.stop()
   }
 }
 
