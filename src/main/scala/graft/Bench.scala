@@ -373,9 +373,21 @@ object Bench {
     // host noise, so the artifact itself shows the harness/framework scale
     // and the dataflow's residual gap is attributable to shared hardware
     val ctrlRuns = sys.env.getOrElse("SPARK_GRAFT_CTRL_RUNS", "2").toInt
+    // burst detection: when a side's own k samples spread > 1.3×, a
+    // co-tenant burst outlasted the sample window — take ONE extra sample
+    // so the min has a chance to land outside the burst (run i measured
+    // whole 4-core sides inflated ~1.9× with both samples inside one burst)
+    def measureSide(l: Int, k: Int): LevelResult = {
+      val r = measure(l, k)
+      if (k > 1 && r.maxSec / r.minSec > 1.3) {
+        val extra = measure(l, 1)
+        r.copy(minSec = math.min(r.minSec, extra.minSec),
+          maxSec = math.max(r.maxSec, extra.maxSec))
+      } else r
+    }
     val (pairs, ctrlPairs, hiResults) = withMaster {
       val pc = (1 to runsPerLevel).map { _ =>
-        val d = (measure(1, pairSamples), measure(4, pairSamples))
+        val d = (measureSide(1, pairSamples), measureSide(4, pairSamples))
         val c =
           if (ctrlRuns > 0 && mode != "cluster") Some((runControl(1, ctrlRuns), runControl(4, ctrlRuns)))
           else None
@@ -452,6 +464,12 @@ object Bench {
         s"pair${i + 1}_min_sec@4" -> pairs(i)._2.minSec)
     }.toMap
     // in-window pure-compute control: per-pair wall ratio + median
+    // clean-limit estimator: ratio of the GLOBAL minima across all pair
+    // sides — on a bursty host the min over all windows converges to the
+    // undisturbed time (bursts only add); emitted as evidence next to the
+    // headline median, never in its place
+    val minWindow =
+      (pairs.map(_._1.minSec).min / pairs.map(_._2.minSec).min) / 4.0
     val ctrlEffs = ctrlPairs.map { case (t1, t4) => (t1 / t4) / 4.0 }
     val ctrlKeys = ctrlEffs.zipWithIndex.map { case (e, i) =>
       s"eff_wall_control_pair${i + 1}" -> e
@@ -464,6 +482,7 @@ object Bench {
     // the clock-probe-normalized value is emitted under an explicit name.
     val qs = (perLevel ++ pairKeys ++ ctrlKeys ++ Map(
       "scaling_efficiency" -> effLowWall,
+      "scaling_efficiency_min_window" -> minWindow,
       "scaling_efficiency_cycle_norm" -> effLow,
       "clock_ratio_1_4" -> clockLow,
       // per-thread memory-bandwidth ratio 1→4 (median of in-window pairs):

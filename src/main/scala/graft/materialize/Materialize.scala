@@ -364,10 +364,16 @@ object Materialize {
       substring_index(concat(col("obj_pre"), col("b")), ":", 1).as("dst_label"),
       concat(col("obj_pre"), col("b")).as("dst_key"),
       col("bucket"))
-    // the checkpointed RDD preserves the aligned physical partitioning, so
-    // this dynamic-partition write still emits ~nBuckets × filesPerBucket
-    // files regardless of core count
-    e.write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(edgePath)
+    // the edge count rides the write itself as an observed metric — the
+    // string path's final `read.parquet(edges).count()` job re-parsed every
+    // file footer (~60 ms each) for a number the write plan already knows
+    val obs = org.apache.spark.sql.Observation()
+    // the checkpointed RDD preserves the aligned physical partitioning
+    // (CollectMetrics passes partitioning through), so this dynamic-
+    // partition write still emits ~nBuckets × filesPerBucket files
+    // regardless of core count
+    e.observe(obs, count(lit(1)).as("n"))
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(edgePath)
     writeBucketMeta(spark, edgePath, nBuckets)
     // nodes: distinct endpoint KEYS from the compact blocks (a key can be
     // reached via different (prefix, id) splits — vote rows carry full
@@ -381,7 +387,7 @@ object Materialize {
     alignedForWrite(nodeRows, xxhash64(col("key")), nBuckets, filesPerBucket)
       .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(s"$warehouse/nodes")
     writeBucketMeta(spark, s"$warehouse/nodes", nBuckets)
-    spark.read.parquet(edgePath).count()
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Materialize a triple set into `warehouse/{nodes,edges}` with endpoint
