@@ -536,8 +536,18 @@ object BenchChild {
         if (t.taskMetrics != null) taskMs.addAndGet(t.taskMetrics.executorRunTime)
     })
     // SPARK_GRAFT_JOBLOG=1: per-job wall vs task time on stderr — the jobs
-    // where wall >> taskTime/cores are the serial/underparallelized culprits
+    // where wall >> taskTime/cores are the serial/underparallelized culprits.
+    // Task INTERVALS are also collected so the run can report true driver-
+    // serial time as wall minus the union of task-busy intervals (per-job
+    // walls overlap under AQE's concurrent stage futures and cannot be
+    // summed).
+    val intervals = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
     if (sys.env.get("SPARK_GRAFT_JOBLOG").contains("1")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskInfo != null)
+            intervals.add((t.taskInfo.launchTime, t.taskInfo.finishTime))
+      })
       val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
       val jobTask = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
       val jobGc = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
@@ -591,6 +601,20 @@ object BenchChild {
       nBuckets = sys.env.getOrElse("SPARK_GRAFT_NBUCKETS", "64").toInt))
     val total = (System.nanoTime() - tStart) / 1e9
     System.err.println(f"TASKTIME ${taskMs.get / 1000.0}%.2f wall $total%.2f")
+    if (!intervals.isEmpty) {
+      // union of task-busy intervals → GAP = wall with zero tasks running
+      // (the honest driver-serial number; overlapped AQE job walls are not)
+      import scala.jdk.CollectionConverters._
+      val sorted = intervals.asScala.toSeq.sortBy(_._1)
+      var covered = 0L; var curS = sorted.head._1; var curE = sorted.head._2
+      sorted.tail.foreach { case (s, e) =>
+        if (s > curE) { covered += curE - curS; curS = s; curE = e }
+        else if (e > curE) curE = e
+      }
+      covered += curE - curS
+      System.err.println(
+        f"TASKGAP ${total - covered / 1000.0}%.2f covered ${covered / 1000.0}%.2f wall $total%.2f")
+    }
     (n, total, tBuild, tWrite)
   }
 

@@ -49,10 +49,24 @@ object ConnectedComponents {
     */
   private[graft] def collectIfSmall(edges: DataFrame,
       localMaxEdges: Int): Option[Array[(String, String)]] = {
+    val spark = edges.sparkSession
     val e = edges.select(col("u").cast("string"), col("v").cast("string"))
       .where(col("u") =!= col("v"))
       .distinct()
-    val collected = e.limit(localMaxEdges + 1).collect()
+    // ONE collect job: Spark's CollectLimit otherwise ramps up incrementally
+    // (1 → 4 → 16 → 64 partitions = 4 driver-serial jobs, ~2 s each measured,
+    // at EVERY cluster size — pure Amdahl). The post-distinct edge set is
+    // dimension-bounded, so reading all its partitions at once is the right
+    // plan; the limit stays as the driver-memory guard.
+    val key = "spark.sql.limit.initialNumPartitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "1000000")
+    val collected =
+      try e.limit(localMaxEdges + 1).collect()
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     if (collected.length > localMaxEdges) None
     else Some(collected.map(r => (r.getString(0), r.getString(1))))
   }
