@@ -304,6 +304,13 @@ object SparkEntry {
       graft.dataops.Dedup.minhashPairs(corpusNear(s, dir), 500).orderBy("doc_a", "doc_b")
     }),
 
+    // Dedup: near-dup CLUSTERS — minhash pair edges → distributed
+    // connected components → (doc_id, cluster_id = min doc_id reachable,
+    // cluster_size); singletons cluster alone
+    "td_near_dup_clusters" -> ((s, dir) => {
+      graft.dataops.Dedup.nearDupClusters(corpusNear(s, dir), 500).orderBy("doc_id")
+    }),
+
     // Dedup: exact n-gram Jaccard with frequency-blocked self-join
     "td_ngram_jaccard_pairs" -> ((s, dir) => {
       graft.dataops.Dedup.ngramJaccardPairs(corpusNear(s, dir), 800, 100)
@@ -702,6 +709,8 @@ object SparkEntry {
       DataOpsSql.nearCorpusCte, DataOpsSql.shinglesCte, DataOpsSql.minhashCte,
       DataOpsSql.bandsCte, DataOpsSql.minhashPairsCte(500))(
       "SELECT doc_a, doc_b, est_jaccard_permille FROM minhash_pairs ORDER BY doc_a, doc_b"),
+
+    "td_near_dup_clusters" -> DataOpsSql.nearDupClustersSql(500),
 
     "td_ngram_jaccard_pairs" -> DataOpsSql.withDocCtes(
       DataOpsSql.nearCorpusCte, DataOpsSql.shinglesCte,

@@ -122,6 +122,35 @@ object Dedup {
       .where(col("est_jaccard_permille") >= minPermille)
   }
 
+  // ---- near-dup clustering ----------------------------------------------
+
+  /** Near-duplicate CLUSTERS, not just pairs: MinHash/LSH pair edges →
+    * connected components → `(doc_id, cluster_id, cluster_size)` for EVERY
+    * document (a singleton is its own cluster). `cluster_id` is the smallest
+    * doc_id in the component — the canonical representative a dedup pipeline
+    * keeps, with transitivity handled (a~b, b~c ⇒ one cluster even when a,c
+    * never share a band). Unlike the KG surface-form graph (dimension-
+    * bounded, driver union-find eligible), the near-dup graph is
+    * CORPUS-sized at 100 TB, so this goes straight to the distributed
+    * large/small-star loop (`ConnectedComponents.run`) — O(log n) rounds,
+    * shuffles only on node keys. Node labels are zero-padded decimals so the
+    * CC's lexicographic min IS the numeric min.
+    */
+  def nearDupClusters(documents: DataFrame, minPermille: Int = 500): DataFrame = {
+    def pad(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 12, "0")
+    val edges = minhashPairs(documents, minPermille)
+      .select(pad(col("doc_a")).as("u"), pad(col("doc_b")).as("v"))
+    val cc = graft.canonicalize.ConnectedComponents.run(edges)
+    val labeled = documents.select(col("doc_id"))
+      .join(cc, pad(col("doc_id")) === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component").cast("long"), col("doc_id")).as("cluster_id"))
+    // count over an unordered partition frame: one shuffle on cluster_id,
+    // no per-key sort semantics needed
+    labeled.withColumn("cluster_size",
+      count(lit(1)).over(Window.partitionBy("cluster_id")))
+  }
+
   // ---- exact n-gram Jaccard ---------------------------------------------
 
   /** Exact shingle-set Jaccard for pairs sharing ≥1 shingle:

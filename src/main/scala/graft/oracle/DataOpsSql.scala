@@ -87,6 +87,31 @@ object DataOpsSql {
        |  WHERE est_jaccard_permille >= $minPermille)""".stripMargin
   }
 
+  /** Near-dup clusters: recursive min-reachability closure over the minhash
+    * pair edges (cluster id = MIN doc_id reachable; the self-loop base row
+    * gives singletons their own cluster). Mirrors the Spark side's
+    * distributed CC semantics exactly — min-label component representative.
+    */
+  def nearDupClustersSql(minPermille: Int): String = {
+    val ctes = Seq(nearCorpusCte, shinglesCte, minhashCte, bandsCte,
+      minhashPairsCte(minPermille)).mkString(",\n")
+    s"""WITH RECURSIVE $ctes,
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM minhash_pairs
+       |  UNION SELECT doc_b, doc_a FROM minhash_pairs),
+       |reach AS (
+       |  SELECT doc_id AS src, doc_id AS dst FROM corpus
+       |  UNION
+       |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+       |clusters AS (
+       |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+       |SELECT c.doc_id, c.cluster_id, CAST(n.n AS BIGINT) AS cluster_size
+       |FROM clusters c
+       |JOIN (SELECT cluster_id, COUNT(*) AS n FROM clusters GROUP BY 1) n
+       |  USING (cluster_id)
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   def ngramJaccardCte(minPermille: Int, maxFreq: Int): String =
     s"""sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1),
        |rare AS (SELECT sh FROM shingles GROUP BY sh HAVING COUNT(*) <= $maxFreq),

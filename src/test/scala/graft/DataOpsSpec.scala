@@ -37,6 +37,19 @@ class DataOpsSpec extends SparkSpec {
     assert(pairs.head.getAs[Int]("est_jaccard_permille") >= 750)
   }
 
+  test("near-dup clusters: transitive closure over minhash pairs, singletons alone") {
+    val docA2 = docA.split(" ").dropRight(2).mkString(" ") // two-word-dropped tail
+    val d = docsDf((1L, docA), (2L, docB), (3L, docA2), (4L, docC))
+    val rows = Dedup.nearDupClusters(d, 500).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 1~2 and 2~3 at least (3 may or may not pair with 1 directly) — CC must
+    // put all three in cluster 1 by transitivity; 4 is its own singleton
+    assert(rows(1L) == (1L, 3L))
+    assert(rows(2L) == (1L, 3L))
+    assert(rows(3L) == (1L, 3L))
+    assert(rows(4L) == (4L, 1L))
+  }
+
   test("exact n-gram jaccard matches hand computation") {
     // docA: 14 words -> 12 shingles; docB (tail-dropped): 13 -> 11 shingles,
     // all shared => jaccard = 11/12 = 916 permille
