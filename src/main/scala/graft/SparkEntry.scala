@@ -304,6 +304,12 @@ object SparkEntry {
       graft.dataops.Dedup.minhashPairs(corpusNear(s, dir), 500).orderBy("doc_a", "doc_b")
     }),
 
+    // Text analysis: per-doc duplication ratio (share of shingles shared
+    // with other docs — the repetition-filter signal)
+    "td_dup_shingle_ratio" -> ((s, dir) => {
+      graft.dataops.Dedup.dupShingleRatio(corpusNear(s, dir)).orderBy("doc_id")
+    }),
+
     // Dedup: near-dup CLUSTERS — minhash pair edges → distributed
     // connected components → (doc_id, cluster_id = min doc_id reachable,
     // cluster_size); singletons cluster alone
@@ -709,6 +715,11 @@ object SparkEntry {
       DataOpsSql.nearCorpusCte, DataOpsSql.shinglesCte, DataOpsSql.minhashCte,
       DataOpsSql.bandsCte, DataOpsSql.minhashPairsCte(500))(
       "SELECT doc_a, doc_b, est_jaccard_permille FROM minhash_pairs ORDER BY doc_a, doc_b"),
+
+    "td_dup_shingle_ratio" -> DataOpsSql.withDocCtes(
+      DataOpsSql.nearCorpusCte, DataOpsSql.shinglesCte,
+      DataOpsSql.dupShingleRatioCte)(
+      "SELECT doc_id, n_shingles, n_shared, dup_permille FROM dup_ratio ORDER BY doc_id"),
 
     "td_near_dup_clusters" -> DataOpsSql.nearDupClustersSql(500),
 

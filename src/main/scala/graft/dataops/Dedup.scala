@@ -122,6 +122,28 @@ object Dedup {
       .where(col("est_jaccard_permille") >= minPermille)
   }
 
+  /** Per-document duplication ratio — the C4/RefinedWeb-style repetition
+    * filter signal: for each document (with ≥1 shingle), the permille share
+    * of its DISTINCT shingles that occur in at least one other document.
+    * Two shuffles, both on shingle hash / doc_id, both map-side combined:
+    * shingle document-frequency, then a per-doc roll-up. At 100 TB the
+    * frequency table is the corpus vocabulary — bounded by content, not
+    * rows — and the join back is a plain equi-join on the frequency key.
+    */
+  def dupShingleRatio(documents: DataFrame, n: Int = 3): DataFrame = {
+    val sh = shingles(documents, n)
+    val df = sh.groupBy("sh").agg(countDistinct("doc_id").as("df"))
+    sh.join(df, "sh")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        // floor() both engines: Spark / on longs is double division
+        floor(col("n_shared") * 1000 / col("n_shingles")).cast("int")
+          .as("dup_permille"))
+  }
+
   // ---- near-dup clustering ----------------------------------------------
 
   /** Near-duplicate CLUSTERS, not just pairs: MinHash/LSH pair edges →

@@ -87,6 +87,19 @@ object DataOpsSql {
        |  WHERE est_jaccard_permille >= $minPermille)""".stripMargin
   }
 
+  /** Per-doc duplication ratio: share of a doc's distinct shingles occurring
+    * in ≥1 other document (mirrors Dedup.dupShingleRatio).
+    */
+  val dupShingleRatioCte: String =
+    """sdf AS (SELECT sh, COUNT(DISTINCT doc_id) AS df FROM shingles GROUP BY sh),
+      |dup_ratio AS (
+      |  SELECT s.doc_id,
+      |         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |         CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |         CAST(FLOOR(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) * 1000
+      |                    / COUNT(*)) AS INT) AS dup_permille
+      |  FROM shingles s JOIN sdf f USING (sh) GROUP BY s.doc_id)""".stripMargin
+
   /** Near-dup clusters: recursive min-reachability closure over the minhash
     * pair edges (cluster id = MIN doc_id reachable; the self-loop base row
     * gives singletons their own cluster). Mirrors the Spark side's

@@ -37,6 +37,13 @@ class DataOpsSpec extends SparkSpec {
     assert(pairs.head.getAs[Int]("est_jaccard_permille") >= 750)
   }
 
+  test("dup shingle ratio: planted duplicate shares all shingles, unique doc none") {
+    val r = Dedup.dupShingleRatio(docsDf((1L, docA), (2L, docA), (3L, docC)))
+      .collect().map(x => x.getLong(0) -> x.getAs[Int]("dup_permille")).toMap
+    assert(r(1L) == 1000 && r(2L) == 1000) // identical docs: every shingle shared
+    assert(r(3L) == 0) // unrelated language: nothing shared
+  }
+
   test("near-dup clusters: transitive closure over minhash pairs, singletons alone") {
     val docA2 = docA.split(" ").dropRight(2).mkString(" ") // two-word-dropped tail
     val d = docsDf((1L, docA), (2L, docB), (3L, docA2), (4L, docC))
