@@ -223,7 +223,7 @@ object Bench {
     * scales ~0.7, the gap is the shared L3/memory system, not the harness.
     * Returns the min-of-runs wall seconds (same estimator as the pair).
     */
-  private def runControl(n: Int, runs: Int): Double = {
+  private[graft] def runControl(n: Int, runs: Int): Double = {
     val extra = sys.env.getOrElse("SPARK_GRAFT_DRIVER_CORE", "1").toInt
     val pinned = math.min(n + extra, Runtime.getRuntime.availableProcessors())
     val errFile = java.io.File.createTempFile(s"bench-ctrl-$n-", ".log")
@@ -368,10 +368,19 @@ object Bench {
     // and taking it symmetrically on both sides cannot bias the ratio. All
     // samples are emitted (per-pair minima + per-level min/max).
     val pairSamples = sys.env.getOrElse("SPARK_GRAFT_PAIR_SAMPLES", "2").toInt
-    // each pair also carries an in-window pure-compute CONTROL pair (see
+    // each pair also carries an in-window pure-compute CONTROL (see
     // runControl): dataflow ratio and control ratio sampled under the SAME
     // host noise, so the artifact itself shows the harness/framework scale
-    // and the dataflow's residual gap is attributable to shared hardware
+    // and the dataflow's residual gap is attributable to shared hardware.
+    // Round 4: the control runs as BRACKETS — once before and once after the
+    // dataflow pair — and the pair's control reading is the MIN of the two.
+    // Round-3 night windows proved contention is bursty WITHIN a pair's
+    // ~7-minute span: a single trailing control could read 0.96 while the
+    // dataflow side it didn't overlap read 0.5. A burst anywhere in the
+    // window now dirties at least one bracket. Each bracket side takes the
+    // min over ctrlRuns back-to-back runs (2 by default): a SINGLE-sample
+    // bracket ratio is noisy enough that min(pre, post) under-reads even
+    // clean windows, which would starve qualification.
     val ctrlRuns = sys.env.getOrElse("SPARK_GRAFT_CTRL_RUNS", "2").toInt
     // burst detection: when a side's own k samples spread > 1.3×, a
     // co-tenant burst outlasted the sample window — take ONE extra sample
@@ -385,19 +394,94 @@ object Bench {
           maxSec = math.max(r.maxSec, extra.maxSec))
       } else r
     }
-    val (pairs, ctrlPairs, hiResults) = withMaster {
-      val pc = (1 to runsPerLevel).map { _ =>
-        val d = (measureSide(1, pairSamples), measureSide(4, pairSamples))
-        val c =
-          if (ctrlRuns > 0 && mode != "cluster") Some((runControl(1, ctrlRuns), runControl(4, ctrlRuns)))
-          else None
-        (d, c)
+    // WINDOW QUALIFICATION (round 4): the headline `scaling_efficiency` is
+    // the median of QUALIFIED pairs only, where a pair qualifies iff every
+    // mechanical window-quality signal is in range — no hand-picking:
+    //   (1) in-window compute control (min of the pre/post brackets) >= 0.93
+    //       — the engine itself must scale in this window;
+    //   (2) clock-probe ratio 1->4 within [0.92, 1.35] — outside it the two
+    //       sides ran at different effective clocks (co-tenant DVFS
+    //       suppression; one r3 window measured 1.79x);
+    //   (3) per-thread membw-probe ratio within [0.80, 1.30] — the memory
+    //       system must look the same to both sides;
+    //   (4) each side's min within floor_tol (1.12x) of the run's own
+    //       observed floor for that side across ALL attempted pairs — the
+    //       r3 night windows read clean controls while whole dataflow sides
+    //       ran 1.4-1.8x above their floors; a burst that inflates every
+    //       sample of a side is invisible to (1)-(3) but not to this.
+    // Pairs keep being collected until `qualK` qualify (or maxPairs /
+    // the wall budget is hit); EVERY attempted pair and every
+    // qualification input is emitted, qualified or not.
+    val qualK = sys.env.getOrElse("SPARK_GRAFT_QUAL_PAIRS", "3").toInt
+    val maxPairs = math.max(runsPerLevel,
+      sys.env.getOrElse("SPARK_GRAFT_MAX_PAIRS", "7").toInt)
+    val pairBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_PAIR_BUDGET_MIN", "100").toDouble * 60
+    val ctrlMin = sys.env.getOrElse("SPARK_GRAFT_QUAL_CTRL", "0.93").toDouble
+    val Array(clockQLo, clockQHi) = sys.env
+      .getOrElse("SPARK_GRAFT_QUAL_CLOCK", "0.92,1.35").split(',').map(_.toDouble)
+    val Array(membwQLo, membwQHi) = sys.env
+      .getOrElse("SPARK_GRAFT_QUAL_MEMBW", "0.80,1.30").split(',').map(_.toDouble)
+    val floorTol = sys.env.getOrElse("SPARK_GRAFT_QUAL_FLOOR_TOL", "1.12").toDouble
+
+    case class Pair(lo: LevelResult, hi: LevelResult,
+        ctrlPre: Option[Double], ctrlPost: Option[Double]) {
+      def wall: Double = (lo.minSec / hi.minSec) / 4.0
+      def clock: Double = if (hi.aluMops > 0) lo.aluMops / hi.aluMops else 1.0
+      def membw: Double = if (hi.memMlongs > 0) lo.memMlongs / hi.memMlongs else 1.0
+      def ctrl: Option[Double] = (ctrlPre.toSeq ++ ctrlPost.toSeq).minOption
+    }
+    def controlBracket(): Option[Double] =
+      if (ctrlRuns > 0 && mode != "cluster")
+        Some((runControl(1, ctrlRuns) / runControl(4, ctrlRuns)) / 4.0)
+      else None
+    def measurePair(): Pair = {
+      val pre = controlBracket()
+      val a = measureSide(1, pairSamples)
+      val b = measureSide(4, pairSamples)
+      val post = controlBracket()
+      Pair(a, b, pre, post)
+    }
+    // (4) is relative to the run's own floors, so qualification is
+    // re-evaluated over ALL pairs collected so far after each new pair (a
+    // later, lower floor retroactively disqualifies an inflated earlier pair)
+    def qualFlags(ps: Seq[Pair]): Seq[Boolean] = {
+      val floorLo = ps.map(_.lo.minSec).min
+      val floorHi = ps.map(_.hi.minSec).min
+      ps.map { p =>
+        p.ctrl.forall(_ >= ctrlMin) &&
+          p.clock >= clockQLo && p.clock <= clockQHi &&
+          p.membw >= membwQLo && p.membw <= membwQHi &&
+          p.lo.minSec <= floorLo * floorTol &&
+          p.hi.minSec <= floorHi * floorTol
       }
-      val h = hiLevels.map(l => measure(l, runsPerLevel))
-      (pc.map(_._1), pc.flatMap(_._2), h)
     }
 
-    val allResults = pairs.flatMap(p => Seq(p._1, p._2)) ++ hiResults
+    val (pairs, hiResults) = withMaster {
+      val buf = scala.collection.mutable.ArrayBuffer[Pair]()
+      val t0 = System.nanoTime()
+      def elapsedSec: Double = (System.nanoTime() - t0) / 1e9
+      while (buf.size < maxPairs &&
+          (buf.size < runsPerLevel ||
+            (qualFlags(buf.toSeq).count(identity) < qualK &&
+              elapsedSec < pairBudgetSec))) {
+        buf += measurePair()
+        System.err.println(f"[bench] pair ${buf.size} wall ${buf.last.wall}%.3f " +
+          f"ctrl ${buf.last.ctrl.getOrElse(-1.0)}%.3f clock ${buf.last.clock}%.3f " +
+          f"qualified ${qualFlags(buf.toSeq).count(identity)}/$qualK " +
+          f"elapsed ${elapsedSec}%.0f s")
+      }
+      val h = hiLevels.map(l => measure(l, runsPerLevel))
+      (buf.toSeq, h)
+    }
+    val quals = qualFlags(pairs)
+    val qualifiedPairs = pairs.zip(quals).collect { case (p, true) => p }
+    // the headline set: qualified pairs, or (flagged via qualified_pairs=0)
+    // all pairs when no window qualified — never silently absent
+    val headlinePairs = if (qualifiedPairs.nonEmpty) qualifiedPairs else pairs
+
+    val allResults =
+      pairs.flatMap(p => Seq(p.lo, p.hi)) ++ hiResults
     require(allResults.map(_.triples).distinct.size == 1,
       s"cluster size changed the result: ${allResults.map(r => r.cpus -> r.triples)}")
     val n = allResults.head.triples
@@ -407,7 +491,10 @@ object Bench {
       sorted(sorted.size / 2).copy(
         minSec = rs.map(_.minSec).min, maxSec = rs.map(_.maxSec).max)
     }
-    val results = Seq(medianOf(pairs.map(_._1)), medianOf(pairs.map(_._2))) ++ hiResults
+    // the 1- and 4-core level summaries come from the HEADLINE (qualified)
+    // pairs — same set the efficiency median uses
+    val results = Seq(medianOf(headlinePairs.map(_.lo)),
+      medianOf(headlinePairs.map(_.hi))) ++ hiResults
     val byLevel = results.map(r => r.cpus -> r).toMap
 
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
@@ -415,15 +502,9 @@ object Bench {
     // Each side's time is the MIN over its pairSamples back-to-back runs
     // (co-tenant bursts only add time; the symmetric min estimates the
     // undisturbed time on both sides without biasing the ratio).
-    val wallPairs = pairs.map { case (a, b) => (a.minSec / b.minSec) / 4.0 }
-    val clockPairs = pairs.map { case (a, b) =>
-      if (b.aluMops > 0) a.aluMops / b.aluMops else 1.0 }
-    val cyclePairs = wallPairs.zip(clockPairs).map { case (w, c) => w * c }
-    val memPairs = pairs.map { case (a, b) =>
-      if (b.memMlongs > 0) a.memMlongs / b.memMlongs else 1.0 }
-    val effLow = med(cyclePairs)
-    val effLowWall = med(wallPairs)
-    val clockLow = med(clockPairs)
+    val effLow = med(headlinePairs.map(p => p.wall * p.clock))
+    val effLowWall = med(headlinePairs.map(_.wall))
+    val clockLow = med(headlinePairs.map(_.clock))
     def effWall(lo: Int, hi: Int): Double =
       (byLevel(lo).medianSec / byLevel(hi).medianSec) / (hi.toDouble / lo)
     def effCycles(lo: Int, hi: Int): Double = {
@@ -454,29 +535,44 @@ object Bench {
           s"alu_mops_per_thread@${r.cpus}" -> r.aluMops,
           s"mem_mlongs_per_thread@${r.cpus}" -> r.memMlongs)
     }.toMap
-    // per-pair transparency: every paired ratio and both side minima on
-    // the record
-    val pairKeys = cyclePairs.zipWithIndex.flatMap { case (e, i) =>
+    // per-pair transparency: every attempted pair — qualified or not — with
+    // every qualification input (control brackets, clock/membw ratios, side
+    // minima and spreads) and its flag on the record
+    val pairKeys = pairs.zipWithIndex.flatMap { case (p, i) =>
+      val n = i + 1
       Seq(
-        s"eff_cycle_pair${i + 1}" -> e,
-        s"eff_wall_pair${i + 1}" -> wallPairs(i),
-        s"pair${i + 1}_min_sec@1" -> pairs(i)._1.minSec,
-        s"pair${i + 1}_min_sec@4" -> pairs(i)._2.minSec)
+        s"eff_cycle_pair$n" -> p.wall * p.clock,
+        s"eff_wall_pair$n" -> p.wall,
+        s"pair${n}_min_sec@1" -> p.lo.minSec,
+        s"pair${n}_min_sec@4" -> p.hi.minSec,
+        s"pair${n}_spread@1" -> p.lo.maxSec / p.lo.minSec,
+        s"pair${n}_spread@4" -> p.hi.maxSec / p.hi.minSec,
+        s"clock_pair$n" -> p.clock,
+        s"membw_pair$n" -> p.membw,
+        s"qual_pair$n" -> (if (quals(i)) 1.0 else 0.0)) ++
+        p.ctrlPre.map(c => s"eff_wall_control_pre_pair$n" -> c) ++
+        p.ctrlPost.map(c => s"eff_wall_control_post_pair$n" -> c) ++
+        p.ctrl.map(c => s"eff_wall_control_pair$n" -> c)
     }.toMap
-    // in-window pure-compute control: per-pair wall ratio + median
     // clean-limit estimator: ratio of the GLOBAL minima across all pair
     // sides — on a bursty host the min over all windows converges to the
     // undisturbed time (bursts only add); emitted as evidence next to the
     // headline median, never in its place
     val minWindow =
-      (pairs.map(_._1.minSec).min / pairs.map(_._2.minSec).min) / 4.0
-    val ctrlEffs = ctrlPairs.map { case (t1, t4) => (t1 / t4) / 4.0 }
-    val ctrlKeys = ctrlEffs.zipWithIndex.map { case (e, i) =>
-      s"eff_wall_control_pair${i + 1}" -> e
-    }.toMap ++
+      (pairs.map(_.lo.minSec).min / pairs.map(_.hi.minSec).min) / 4.0
+    val ctrlEffs = pairs.flatMap(_.ctrl)
+    val ctrlKeys =
       (if (ctrlEffs.nonEmpty)
         Map("scaling_efficiency_compute_control" -> med(ctrlEffs))
-      else Map.empty[String, Double])
+      else Map.empty[String, Double]) ++ Map(
+        // the full qualification policy as data: thresholds + outcome
+        "qual_ctrl_min" -> ctrlMin,
+        "qual_clock_lo" -> clockQLo, "qual_clock_hi" -> clockQHi,
+        "qual_membw_lo" -> membwQLo, "qual_membw_hi" -> membwQHi,
+        "qual_floor_tol" -> floorTol,
+        "qualified_pairs" -> qualifiedPairs.size.toDouble,
+        "attempted_pairs" -> pairs.size.toDouble,
+        "scaling_efficiency_all_pairs" -> med(pairs.map(_.wall)))
     // The PLAIN scaling_efficiency key is the measured WALL ratio (ADVICE
     // r2: a consumer reading the key alone must see the measured number);
     // the clock-probe-normalized value is emitted under an explicit name.
@@ -488,7 +584,7 @@ object Bench {
       // per-thread memory-bandwidth ratio 1→4 (median of in-window pairs):
       // hardware evidence, not a correction — one socket, one L3/memory
       // controller is the resource a real N→4N cluster multiplies
-      "membw_ratio_1_4" -> med(memPairs),
+      "membw_ratio_1_4" -> med(headlinePairs.map(_.membw)),
       "canonical_triples" -> n.toDouble,
       "runs_per_level" -> runsPerLevel.toDouble) ++
       effHighWall.map(e => "scaling_efficiency_hi" -> e).toMap ++
@@ -501,7 +597,8 @@ object Bench {
     val pairDesc =
       (if (cpus >= 8) s"1 vs 4 cores (headline) and ${cpus / 4} vs $cpus (scaling_efficiency_hi; one shared memory bus/LLC)"
        else "1 vs 4 cores") +
-        s"; headline = median of $runsPerLevel INTERLEAVED 1-core/4-core pairs (each ratio inside one host-noise window; per-pair ratios emitted as eff_wall_pair*/eff_cycle_pair*)"
+        s"; headline = median of the QUALIFIED interleaved 1-core/4-core pairs (${qualifiedPairs.size} of ${pairs.size} attempted; pairs are collected until $qualK qualify or the budget runs out) where a pair qualifies mechanically iff its in-window pure-compute control (min of a PRE and a POST bracket) >= $ctrlMin AND clock-probe ratio in [$clockQLo,$clockQHi] AND membw-probe ratio in [$membwQLo,$membwQHi] AND both side minima within ${floorTol}x of the run's own per-side floors; every attempted pair + every qualification input emitted (eff_wall_pair*/clock_pair*/membw_pair*/eff_wall_control_{pre,post}_pair*/qual_pair*), median over ALL pairs emitted as scaling_efficiency_all_pairs" +
+        (if (qualifiedPairs.isEmpty) "; NO pair qualified this run - scaling_efficiency falls back to the all-pairs median" else "")
     println(
       s"""{"metric":"end-to-end triples/sec (extract->link->canonicalize->materialize), $modeDesc, median-of-$runsPerLevel per level, scaling $pairDesc; scaling_efficiency is the MEASURED WALL ratio; the in-run per-core ALU clock probe's normalized value (clock ratio ${f"$clockLow%.2f"}x this run; a real N->4N cluster adds machines at identical clocks) is emitted separately as scaling_efficiency_cycle_norm; in-run probes emitted per level (alu=clock, mem=streaming bandwidth) plus an IN-WINDOW pure-compute Spark control pair (codegen range->xxhash64->bit_xor, same pinning; emitted as scaling_efficiency_compute_control / eff_wall_control_pair*) show where the single shared L3/memory system caps string-dataflow wall scaling on this one-socket box (BASELINE.md has the full measured diagnosis; the capped resource is per-node on a real cluster)","value":${f"$tpsTop%.2f"},"unit":"triples/sec","queries":$qs,"sf":"$sfDir"}""")
   }

@@ -56,6 +56,12 @@ object GraftApp {
     spark.sparkContext.setLogLevel("WARN")
     FuzzRatio.register(spark)
 
+    // an explicitly-passed run-id must not silently join lineage rows
+    // written under a different configuration (the default id cannot
+    // collide: millis + pid)
+    if (opts.contains("run-id"))
+      Checkpoint.requireRunIdFresh(spark, lineage, runId, cfgHash)
+
     val allTurns = opts.get("input")
       .map(spark.read.parquet(_))
       .getOrElse(TranscriptGen.transcripts(spark, sfDir))

@@ -69,6 +69,17 @@ object SparkEntry {
       regexp_replace(col("text"), "\\s+\\S+$", "").as("text")))
   }
 
+  /** documents ∪ identical copy ∪ tail-dropped copy: exercises BOTH stages
+    * of the composed dedup pipeline (exact drop, then near-dup drop on the
+    * exact survivors).
+    */
+  private def corpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(d.select((col("doc_id") + 200000).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+$", "").as("text")))
+  }
+
   /** embeddings ∪ ×1.5-scaled copy (planted near-duplicates for the
     * embedding-cosine dedup operator; mirrors DataOpsSql.embNearSql).
     * Scaling preserves direction — cosine 1 up to shared rounding — and
@@ -317,6 +328,14 @@ object SparkEntry {
       graft.dataops.Dedup.nearDupClusters(corpusNear(s, dir), 500).orderBy("doc_id")
     }),
 
+    // Dedup: the COMPOSED pipeline decision — exact → minhash clusters on
+    // exact survivors → per-doc (keep, reason ∈ {exact, near, unique},
+    // representative_id), representative always a kept doc
+    "td_dedup_decisions" -> ((s, dir) => {
+      graft.dataops.Dedup.dedupPipeline(corpusPipeline(s, dir), 500)
+        .orderBy("doc_id")
+    }),
+
     // Dedup: exact n-gram Jaccard with frequency-blocked self-join
     "td_ngram_jaccard_pairs" -> ((s, dir) => {
       graft.dataops.Dedup.ngramJaccardPairs(corpusNear(s, dir), 800, 100)
@@ -391,10 +410,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Multimodal: binary payload plumbing via mapPartitions feature extraction
+    // Multimodal: binary payload plumbing via mapPartitions feature
+    // extraction. Even doc_ids carry REAL generated PNGs decoded by JDK
+    // ImageIO (dims mirror Multimodal.pngDims, which the oracle computes
+    // from the text length); odd doc_ids exercise the stubbed audio path.
+    // n_bytes/checksum are PNG-encoding-dependent (not SQL-expressible) —
+    // they stay covered by DataOpsSpec; the gate verifies the decode.
     "td_multimodal_features" -> ((s, dir) => {
       graft.dataops.Multimodal.extractFeatures(s,
-        graft.dataops.Multimodal.assets(docs(s, dir))).orderBy("asset_id")
+        graft.dataops.Multimodal.assets(docs(s, dir)))
+        .select("asset_id", "mime", "width", "height", "n_frames")
+        .orderBy("asset_id")
     }),
 
     // Matching: J3 time-window candidate join + §2.9 weighted score + W4
@@ -433,23 +459,37 @@ object SparkEntry {
 
     // A11/ProcessingStatistics: link attempt/match counters with the
     // reference's denominator semantics (attempts = ALL mentions, padded
-    // NO_MATCH rows included — models.py:186-210, vlos_pipeline.py:150-160)
+    // NO_MATCH rows included — models.py:186-210, vlos_pipeline.py:150-160).
+    // Round 4: FULL parity — the reference's statistics block tracks
+    // speaker, zaak AND activity rates (vlos_pipeline.py:180-192); one row
+    // per kind here, same counters per row.
     "kg_match_stats" -> ((s, dir) => {
       import graft.model.MatchType
-      Link.linkPersonsWithNoMatch(
-          Extract.speakerMentions(turns(s, dir)), Dict.personsDf(s))
-        .agg(
-          count(lit(1)).as("attempts"),
-          sum(when(col("match_type") =!= MatchType.NoMatch, 1L).otherwise(0L))
-            .as("matches"),
-          sum(when(col("match_type") === MatchType.Exact, 1L).otherwise(0L))
-            .as("exact_matches"),
-          sum(when(col("match_type") === MatchType.Fuzzy, 1L).otherwise(0L))
-            .as("fuzzy_matches"),
-          sum(when(col("match_type") === MatchType.NoMatch, 1L).otherwise(0L))
-            .as("no_matches"))
-        .withColumn("match_rate_permille",
-          floor(col("matches") * 1000 / col("attempts")).cast("int"))
+      val t = turns(s, dir)
+      def stats(kind: String, linked: org.apache.spark.sql.DataFrame) =
+        linked.agg(
+            count(lit(1)).as("attempts"),
+            sum(when(col("match_type") =!= MatchType.NoMatch, 1L).otherwise(0L))
+              .as("matches"),
+            sum(when(col("match_type") === MatchType.Exact, 1L).otherwise(0L))
+              .as("exact_matches"),
+            sum(when(col("match_type") === MatchType.Fuzzy, 1L).otherwise(0L))
+              .as("fuzzy_matches"),
+            sum(when(col("match_type") === MatchType.NoMatch, 1L).otherwise(0L))
+              .as("no_matches"))
+          .withColumn("match_rate_permille",
+            floor(col("matches") * 1000 / col("attempts")).cast("int"))
+          .select(lit(kind).as("kind"), col("attempts"), col("matches"),
+            col("exact_matches"), col("fuzzy_matches"), col("no_matches"),
+            col("match_rate_permille"))
+      val persons = stats("person", Link.linkPersonsWithNoMatch(
+        Extract.speakerMentions(t), Dict.personsDf(s)))
+      val zaken = stats("zaak", Link.linkZaken(Extract.caseMentions(t),
+        Dict.zakenDf(s), Dict.dossiersDf(s), Dict.documentsDf(s)))
+      val (xml, cand) = synthActivities(s, dir)
+      val acts = stats("activity",
+        graft.matching.ActivityMatch.matchActivities(xml, cand.drop("u")))
+      persons.unionByName(zaken).unionByName(acts).orderBy("kind")
     }),
 
     // J2: actor-priority candidate tier ahead of the global dictionary
@@ -723,6 +763,8 @@ object SparkEntry {
 
     "td_near_dup_clusters" -> DataOpsSql.nearDupClustersSql(500),
 
+    "td_dedup_decisions" -> DataOpsSql.dedupDecisionsSql(500),
+
     "td_ngram_jaccard_pairs" -> DataOpsSql.withDocCtes(
       DataOpsSql.nearCorpusCte, DataOpsSql.shinglesCte,
       DataOpsSql.ngramJaccardCte(800, 100))(
@@ -778,7 +820,7 @@ object SparkEntry {
       "SELECT doc_id, fingerprint FROM fingerprint ORDER BY doc_id"),
 
     "td_multimodal_features" -> DataOpsSql.withDocCtes(DataOpsSql.multimodalCte)(
-      """SELECT asset_id, n_bytes, checksum, width, height, n_frames
+      """SELECT asset_id, mime, width, height, n_frames
         |FROM mm_features ORDER BY asset_id""".stripMargin),
 
     "kg_activity_match" -> OracleSql.withCtes(MatchSql.activityMatchCtes)(
@@ -800,18 +842,38 @@ object SparkEntry {
       "SELECT subj, pred, obj FROM relmap_edges ORDER BY subj, pred, obj"),
 
     "kg_match_stats" -> OracleSql.withCtes(
-      OracleSql.speakerMentionsCte, OracleSql.linkPersonsCte)(
-      """SELECT attempts, matches, exact_matches, fuzzy_matches, no_matches,
+      (Seq(OracleSql.speakerMentionsCte, OracleSql.linkPersonsCte,
+        OracleSql.caseMentionsCte) ++ OracleSql.zakenCtes ++
+        Seq(OracleSql.linkZakenCte, MatchSql.activityMatchCtes)): _*)(
+      """SELECT kind, attempts, matches, exact_matches, fuzzy_matches, no_matches,
         |       CAST(FLOOR(matches * 1000 / attempts) AS INT) AS match_rate_permille
         |FROM (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS attempts,
+        |  SELECT 'person' AS kind,
+        |         CAST(COUNT(*) AS BIGINT) AS attempts,
         |         CAST(SUM(CASE WHEN lp.match_type IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matches,
         |         CAST(SUM(CASE WHEN lp.match_type = 'EXACT' THEN 1 ELSE 0 END) AS BIGINT) AS exact_matches,
         |         CAST(SUM(CASE WHEN lp.match_type = 'FUZZY' THEN 1 ELSE 0 END) AS BIGINT) AS fuzzy_matches,
         |         CAST(SUM(CASE WHEN lp.match_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS no_matches
         |  FROM speaker_mentions sm
         |  LEFT JOIN linked_persons lp
-        |    USING (conv_id, turn_idx, v_first, v_last))""".stripMargin),
+        |    USING (conv_id, turn_idx, v_first, v_last)
+        |  UNION ALL
+        |  SELECT 'zaak',
+        |         CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(CASE WHEN match_type <> 'NO_MATCH' THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(SUM(CASE WHEN match_type = 'EXACT' THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(SUM(CASE WHEN match_type = 'FUZZY' THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(SUM(CASE WHEN match_type = 'NO_MATCH' THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM linked_zaken
+        |  UNION ALL
+        |  SELECT 'activity',
+        |         CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(CASE WHEN match_type <> 'NO_MATCH' THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(SUM(CASE WHEN match_type = 'EXACT' THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(SUM(CASE WHEN match_type = 'FUZZY' THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(SUM(CASE WHEN match_type = 'NO_MATCH' THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM activity_match)
+        |ORDER BY kind""".stripMargin),
 
     "kg_link_persons_priority" -> OracleSql.withCtes(
       Dict.personsExtSql, OracleSql.speakerMentionsCte,

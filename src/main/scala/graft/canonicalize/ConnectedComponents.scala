@@ -58,15 +58,18 @@ object ConnectedComponents {
     // at EVERY cluster size — pure Amdahl). The post-distinct edge set is
     // dimension-bounded, so reading all its partitions at once is the right
     // plan; the limit stays as the driver-memory guard.
-    val key = "spark.sql.limit.initialNumPartitions"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "1000000")
-    val collected =
-      try e.limit(localMaxEdges + 1).collect()
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
+    //
+    // The initialNumPartitions override is scoped to a THROWAWAY CLONED
+    // session (ADVICE r3): mutating the caller's session conf — even
+    // restored in a finally — races any concurrent query on the same
+    // session (AQE stage futures, parallel consumers) into running under
+    // the override. `newSession` shares the SparkContext but has isolated
+    // SQL conf; only the final collect executes there, over the lazily
+    // compiled RDD of the same plan (one job, early-stopping iterators).
+    val isolated = spark.newSession()
+    isolated.conf.set("spark.sql.limit.initialNumPartitions", "1000000")
+    val collected = isolated.createDataFrame(e.rdd, e.schema)
+      .limit(localMaxEdges + 1).collect()
     if (collected.length > localMaxEdges) None
     else Some(collected.map(r => (r.getString(0), r.getString(1))))
   }

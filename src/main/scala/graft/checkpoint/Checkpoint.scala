@@ -49,6 +49,20 @@ object Checkpoint {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** All lineage reads come through here: `mergeSchema` so a directory
+    * mixing schema generations (the r3 rows gained err_class/config_hash)
+    * reads the UNION of columns instead of whichever file Spark samples,
+    * and rows from files that predate a column get it as null — which the
+    * consumers then treat EXPLICITLY (see `requireCompatible`).
+    */
+  private def readLineage(spark: SparkSession, lineagePath: String): DataFrame = {
+    val df = spark.read.option("mergeSchema", "true").parquet(lineagePath)
+    Seq("err_class" -> "string", "config_hash" -> "string").foldLeft(df) {
+      case (d, (c, t)) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(t))
+    }
+  }
+
   /** Buckets already completed for `stage` (any run). */
   def processedBuckets(spark: SparkSession, lineagePath: String, stage: String): DataFrame = {
     if (!exists(spark, lineagePath)) {
@@ -58,7 +72,7 @@ object Checkpoint {
           org.apache.spark.sql.types.StructField("bucket",
             org.apache.spark.sql.types.IntegerType))))
     } else {
-      spark.read.parquet(lineagePath)
+      readLineage(spark, lineagePath)
         .where(col("stage") === stage && col("status") === "done")
         .select("bucket").distinct()
     }
@@ -76,6 +90,11 @@ object Checkpoint {
 
   /** Record completed buckets with row counters (one lineage row per bucket,
     * appended atomically per job — parquet append of a tiny aggregate).
+    * The aggregate is ≤ nBuckets rows: `coalesce(1)` pins the append to ONE
+    * file per call, so the lineage dir grows one file per recorded stage
+    * instead of one per task — at 10^5 stages × shuffle partitions the
+    * uncoalesced form is a small-files swamp (`compactLineage` sweeps what
+    * still accumulates over very long histories).
     */
   def recordProcessed(spark: SparkSession, lineagePath: String, runId: String,
       stage: String, df: DataFrame, convCol: String,
@@ -88,7 +107,34 @@ object Checkpoint {
         lit("done").as("status"),
         lit(null).cast("string").as("err_class"),
         lit(configHash).as("config_hash"), current_timestamp().as("ts"))
+      .coalesce(1)
       .write.mode(SaveMode.Append).parquet(lineagePath)
+  }
+
+  /** Compact an appended-to lineage dir to a single file — the periodic
+    * sweep mirroring Materialize.sweepStaleStaging. Single-writer protocol
+    * (same as resume itself): run between jobs, not concurrently with an
+    * append. Crash-safe ordering: the compacted file is fully written to a
+    * `.compact` sibling BEFORE any original is deleted, so a crash mid-sweep
+    * loses nothing (the sibling is swept/overwritten by the next compact).
+    */
+  def compactLineage(spark: SparkSession, lineagePath: String): Unit = {
+    if (!exists(spark, lineagePath)) return
+    val fs = new Path(lineagePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(lineagePath + ".compact")
+    fs.delete(tmp, true)
+    readLineage(spark, lineagePath).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val dataFiles = fs.listStatus(new Path(lineagePath))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    val compacted = fs.listStatus(tmp)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    dataFiles.foreach(fs.delete(_, false))
+    compacted.zipWithIndex.foreach { case (p, i) =>
+      fs.rename(p, new Path(lineagePath, s"compacted-$i.parquet"))
+    }
+    fs.delete(tmp, true)
   }
 
   /** Record a FAILED bucket with its error class — the reference's
@@ -105,6 +151,7 @@ object Checkpoint {
       .toDF("run_id", "stage", "bucket", "n_rows", "status", "err_class",
         "config_hash")
       .withColumn("ts", current_timestamp())
+      .coalesce(1)
       .write.mode(SaveMode.Append).parquet(lineagePath)
   }
 
@@ -115,9 +162,15 @@ object Checkpoint {
   def requireCompatible(spark: SparkSession, lineagePath: String,
       stage: String, configHash: String): Unit = {
     if (exists(spark, lineagePath)) {
-      val others = spark.read.parquet(lineagePath)
-        .where(col("stage") === stage && col("config_hash") =!= configHash)
-        .select("config_hash").distinct().limit(5)
+      // null config_hash = rows from files predating the column (mergeSchema
+      // read): REFUSED explicitly — an unknown config is not a compatible
+      // one (null =!= hash would silently PASS those rows; ADVICE r3)
+      val others = readLineage(spark, lineagePath)
+        .where(col("stage") === stage &&
+          (col("config_hash").isNull || col("config_hash") =!= configHash))
+        .select(coalesce(col("config_hash"), lit("<pre-config_hash lineage>"))
+          .as("config_hash"))
+        .distinct().limit(5)
         .collect().map(_.getString(0))
       if (others.nonEmpty)
         throw new IllegalStateException(
@@ -127,12 +180,34 @@ object Checkpoint {
     }
   }
 
+  /** Refuse a run-id that already appears in lineage under a DIFFERENT
+    * config_hash: two launches sharing a run-id but not a configuration
+    * would interleave incompatible rows under one identity. (The DEFAULT
+    * run-id is collision-free by construction — epoch millis + pid — this
+    * guards explicitly-passed `--run-id` values; same-config re-use stays
+    * allowed, that is what resume IS.)
+    */
+  def requireRunIdFresh(spark: SparkSession, lineagePath: String,
+      runId: String, configHash: String): Unit = {
+    if (exists(spark, lineagePath)) {
+      val clash = readLineage(spark, lineagePath)
+        .where(col("run_id") === runId &&
+          (col("config_hash").isNull || col("config_hash") =!= configHash))
+        .limit(1).count() > 0
+      if (clash)
+        throw new IllegalStateException(
+          s"run-id '$runId' already exists in lineage under a different " +
+            s"config_hash than $configHash — pick a fresh run-id (or rerun " +
+            "with the matching settings)")
+    }
+  }
+
   /** Progress counters for a stage (the reference's ProcessingStatistics /
     * LoaderResult totals incl. failure counters, models.py:186-210,
     * checkpoint_manager.py:341-353).
     */
   def stats(spark: SparkSession, lineagePath: String, stage: String): DataFrame =
-    spark.read.parquet(lineagePath)
+    readLineage(spark, lineagePath)
       .where(col("stage") === stage)
       .agg(
         countDistinct(when(col("status") === "done", col("bucket"))).as("buckets_done"),

@@ -248,6 +248,56 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  // ---- composed pipeline --------------------------------------------------
+
+  /** The composed dedup decision a 100 TB pipeline actually calls — the
+    * loader-manager analogue (reference loader_manager.py:118-225): exact
+    * dedup first, MinHash/LSH near-dup clustering on the exact SURVIVORS
+    * only (running the sketch family after exact dedup is what keeps LSH
+    * buckets non-degenerate — see `capBuckets`), then one decision row per
+    * input document:
+    *
+    *   (doc_id, keep, reason ∈ {exact, near, unique}, representative_id)
+    *
+    *  - `exact`:  byte-identical to a lower doc_id → dropped; its
+    *              representative CHASES through the near stage, so
+    *              representative_id is always a KEPT document.
+    *  - `near`:   exact-surviving but in a near-dup cluster with a lower
+    *              doc_id (transitive, via connected components) → dropped.
+    *  - `unique`: the kept representative (cluster minimum), self-mapped.
+    *
+    * Scale shape: the exact stage is one hash-partitioned window over
+    * md5(text) (equivalently a groupBy — one shuffle, map-side combined);
+    * the near stage is `nearDupClusters` over the smaller survivor set; the
+    * exact-dropped rows re-join the cluster map by the survivor key. No
+    * all-pairs anywhere.
+    */
+  def dedupPipeline(documents: DataFrame, minPermille: Int = 500): DataFrame = {
+    val d = documents.select("doc_id", "text")
+    val w = Window.partitionBy(md5(col("text")))
+    val withCanon = d.withColumn("exact_canonical", min("doc_id").over(w))
+    val exactDropped = withCanon
+      .where(col("doc_id") =!= col("exact_canonical"))
+      .select("doc_id", "exact_canonical")
+    val survivors = withCanon
+      .where(col("doc_id") === col("exact_canonical"))
+      .select("doc_id", "text")
+    val clusters = nearDupClusters(survivors, minPermille)
+      .select("doc_id", "cluster_id")
+    val survivorDecision = clusters.select(
+      col("doc_id"),
+      (col("doc_id") === col("cluster_id")).as("keep"),
+      when(col("doc_id") === col("cluster_id"), "unique").otherwise("near")
+        .as("reason"),
+      col("cluster_id").as("representative_id"))
+    val exactDecision = exactDropped
+      .join(clusters.select(col("doc_id").as("exact_canonical"),
+        col("cluster_id")), "exact_canonical")
+      .select(col("doc_id"), lit(false).as("keep"), lit("exact").as("reason"),
+        col("cluster_id").as("representative_id"))
+    survivorDecision.unionByName(exactDecision)
+  }
+
   /** Embedding-cosine near-duplicate pairs — the semantic member of the
     * dedup family: unordered (doc_a < doc_b) pairs whose exact cosine
     * similarity reaches `minCos1e6` (1e-6 fixed point), with candidate

@@ -79,8 +79,14 @@ object MentionExtract {
   // pattern indices — the literal regexes of the round-2 column graph
   // (Extract.mentionsWide / Extract.isProcedural), unchanged
   private val patterns: Array[Pattern] = Array(
-    Pattern.compile("\\b(" + graft.extract.Extract.ProceduralMarkers.mkString("|") + ")\\b",
-      Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE), // 0: lower(text) RLIKE markers
+    // 0: the column graph (and the DuckDB oracle) is `lower(text) RLIKE
+    // <markers>` — a CASE-SENSITIVE match over the LOWERCASED text. A
+    // CASE_INSENSITIVE|UNICODE_CASE match on the raw text is NOT the same
+    // function for non-ASCII case mappings (Turkish İ/ı, ﬁ ligatures:
+    // UNICODE_CASE folds them onto 'i'/'fi', lower() does not), so the
+    // kernel lowercases via Spark's own UTF8String.toLowerCase (bit-exact
+    // with the lower() expression) and matches case-sensitively (ADVICE r3).
+    Pattern.compile("\\b(" + graft.extract.Extract.ProceduralMarkers.mkString("|") + ")\\b"),
     Pattern.compile("het woord aan (.+)$"), // 1
     Pattern.compile("^Mevrouw (.+) spreekt over"), // 2
     Pattern.compile("^De heer (.+) interrumpeert"), // 3
@@ -158,10 +164,13 @@ object MentionExtract {
     if (!(gWoord || gMevrouw || gHeer || gReactie || gDossier || gVote))
       return null
 
-    val s = text.toString // the ONE String conversion for this row
+    val s = text.toString // the ONE String conversion of the original row
     val ms = matchers.get()
-    // procedural turns are dropped before any mention logic (P4)
-    if (ms(0).reset(s).find()) return null
+    // procedural turns are dropped before any mention logic (P4): matched
+    // against lower(text) computed by Spark's OWN lowercase (UTF8String
+    // .toLowerCase — ASCII fast path, same slow path as the lower() expr),
+    // exactly mirroring the replaced `lower(text) RLIKE` column
+    if (ms(0).reset(text.toLowerCase.toString).find()) return null
 
     // speaker cascade — evaluation order mirrors the original column
     // dataflow: kind = first non-empty of (woord, spreekt, inter, reactie);

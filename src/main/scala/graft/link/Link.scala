@@ -84,7 +84,25 @@ object Link {
     * column is a function of the mention row.
     */
   def linkPersons(mentions: DataFrame, persons: DataFrame,
-      carry: Seq[String]): DataFrame = {
+      carry: Seq[String]): DataFrame =
+    linkPersons(mentions, persons, carry, None)
+
+  /** As above with an optional [[org.apache.spark.sql.Observation]] that
+    * rides the fallback branch and reports `fallback_residual_rows` — the
+    * number of mentions with NO exact surname-block hit. That residual is
+    * the left side of a broadcast nested-loop `contains` join (residual ×
+    * |dictionary| comparisons): fine while residuals stay the expected
+    * trickle, INVISIBLE until slow on a dirty corpus where most surnames
+    * miss the block. The counter makes the volume an emitted metric per
+    * run. If `residual × dim_rows` grows past ~10^10 comparisons, switch
+    * the tier to a salted equi-join on dictionary-side token n-grams
+    * (explode the dictionary's surname substrings of the residual token
+    * lengths — turns `contains` into an equi-join at ×substring-count dim
+    * blow-up) rather than letting the NLJ quadratically absorb the corpus.
+    */
+  def linkPersons(mentions: DataFrame, persons: DataFrame,
+      carry: Seq[String],
+      residualObs: Option[org.apache.spark.sql.Observation]): DataFrame = {
     val blocks = broadcast(personBlocks(persons))
 
     // Tier 1: exact surname block join (reference api_extractor.py:148-155).
@@ -95,9 +113,12 @@ object Link {
     // with no exact hit (reference api_extractor.py:157-168). The fallback
     // side is a broadcast theta-join: tiny dim × (typically few) residuals.
     val lastToken = regexp_extract(lower(col("v_last")), "(\\S+)$", 1)
-    val noExact = mentions.join(
+    val noExact0 = mentions.join(
       blocks.select("block_key").distinct(),
       lower(mentions("v_last")) === col("block_key"), "left_anti")
+    val noExact = residualObs
+      .map(o => noExact0.observe(o, count(lit(1)).as("fallback_residual_rows")))
+      .getOrElse(noExact0)
     val fallback = noExact
       .withColumn("lt", lastToken)
       .join(broadcast(personBlocks(persons).drop("block_key").distinct()),

@@ -172,16 +172,37 @@ object Materialize {
     val withBucket = updates
       .withColumn("bucket", pmod(xxhash64(col(bucketCol)), lit(nBuckets)).cast("int"))
       .dropDuplicates(keyCols)
-    if (!exists(spark, path)) {
-      alignedForWrite(withBucket, subKey, nBuckets, filesPerBucket)
-        .write.partitionBy("bucket").mode(SaveMode.ErrorIfExists).parquet(path)
-      writeBucketMeta(spark, path, nBuckets)
-    } else {
+    val hasData = exists(spark, path) &&
+      fs(spark, path).listStatus(new Path(path))
+        .exists(_.getPath.getName.startsWith("bucket="))
+    if (!hasData) {
+      // Marker BEFORE the first data commit (ADVICE r3): a crash between
+      // the two leaves a marker-only dir that the next upsert treats as an
+      // empty, layout-DECLARED table — never a data table whose bucket
+      // count is unknowable. If a marker already exists (that exact crash,
+      // replayed), it must agree. Append (not ErrorIfExists) because the
+      // marker itself creates the dir; single-writer per table is already
+      // the upsert protocol (see sweepStaleStaging).
       readBucketMeta(spark, path).foreach { m =>
         require(m == nBuckets,
-          s"bucket-count mismatch for $path: table has $m buckets, upsert asked " +
-            s"for $nBuckets — the same key would hash to different partitions")
+          s"bucket-count mismatch for $path: marker declares $m buckets, " +
+            s"upsert asked for $nBuckets")
       }
+      writeBucketMeta(spark, path, nBuckets)
+      alignedForWrite(withBucket, subKey, nBuckets, filesPerBucket)
+        .write.partitionBy("bucket").mode(SaveMode.Append).parquet(path)
+    } else {
+      // a data-bearing table with NO marker is REFUSED (ADVICE r3): its
+      // bucket count is unknowable — "derive it from the bucket= dirs"
+      // cannot distinguish 16 from 32 when only low buckets materialized —
+      // and a wrong guess scatters the same key across two partitions
+      val m = readBucketMeta(spark, path).getOrElse(throw new IllegalStateException(
+        s"no _graft_nbuckets marker at $path: the table predates the marker " +
+          "protocol or the marker was deleted — refusing to upsert; declare " +
+          "the layout by restoring the marker file"))
+      require(m == nBuckets,
+        s"bucket-count mismatch for $path: table has $m buckets, upsert asked " +
+          s"for $nBuckets — the same key would hash to different partitions")
       sweepStaleStaging(spark, path)
       val staging = s"$path.staging-${System.nanoTime()}"
       try {

@@ -125,6 +125,51 @@ object DataOpsSql {
        |ORDER BY c.doc_id""".stripMargin
   }
 
+  /** Composed dedup pipeline (mirrors Dedup.dedupPipeline over the pipeline
+    * corpus: documents ∪ identical copy ∪ tail-dropped copy): exact
+    * canonicalization by md5(text) window-min, then the minhash CTE stack
+    * runs over the exact SURVIVORS (bound as `corpus`, so shingles/mh/bands
+    * are reused verbatim), then the recursive min-reachability closure
+    * yields clusters, then one decision row per input doc with the
+    * exact-dropped rows chasing to their canonical's FINAL representative.
+    */
+  def dedupDecisionsSql(minPermille: Int): String = {
+    val ctes = Seq(shinglesCte, minhashCte, bandsCte,
+      minhashPairsCte(minPermille)).mkString(",\n")
+    s"""WITH RECURSIVE corpus0 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 200000, regexp_replace(text, '\\s+\\S+$$', '') FROM documents),
+       |exact_canon AS (
+       |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_canonical
+       |  FROM corpus0),
+       |corpus AS (
+       |  SELECT c.doc_id, c.text FROM corpus0 c JOIN exact_canon e USING (doc_id)
+       |  WHERE e.doc_id = e.exact_canonical),
+       |$ctes,
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM minhash_pairs
+       |  UNION SELECT doc_b, doc_a FROM minhash_pairs),
+       |reach AS (
+       |  SELECT doc_id AS src, doc_id AS dst FROM corpus
+       |  UNION
+       |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+       |clusters AS (
+       |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+       |decisions AS (
+       |  SELECT doc_id, doc_id = cluster_id AS keep,
+       |         CASE WHEN doc_id = cluster_id THEN 'unique' ELSE 'near' END AS reason,
+       |         cluster_id AS representative_id
+       |  FROM clusters
+       |  UNION ALL
+       |  SELECT e.doc_id, FALSE, 'exact', c.cluster_id
+       |  FROM exact_canon e JOIN clusters c ON e.exact_canonical = c.doc_id
+       |  WHERE e.doc_id <> e.exact_canonical)
+       |SELECT doc_id, keep, reason, representative_id
+       |FROM decisions ORDER BY doc_id""".stripMargin
+  }
+
   def ngramJaccardCte(minPermille: Int, maxFreq: Int): String =
     s"""sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1),
        |rare AS (SELECT sh FROM shingles GROUP BY sh HAVING COUNT(*) <= $maxFreq),
@@ -429,13 +474,22 @@ object DataOpsSql {
        |        FROM shingles)
        |  WHERE rn <= $t GROUP BY doc_id)""".stripMargin
 
+  /** Mirrors Multimodal.assets + extractFeatures: even doc_ids are REAL
+    * PNGs whose dimensions were CONSTRUCTED as Multimodal.pngDims(len(text))
+    * and are then genuinely re-read by ImageIO on the Spark side — the
+    * oracle computes the construction rule, the engine decodes pixels; odd
+    * doc_ids take the stubbed fakeDecode path over the raw text bytes.
+    */
   val multimodalCte: String =
     """mm_features AS (
       |  SELECT doc_id AS asset_id,
-      |         CAST(length(text) AS BIGINT) AS n_bytes,
-      |         md5(text) AS checksum,
-      |         CAST(64 + length(text) % 64 AS INT) AS width,
-      |         CAST(64 + (length(text) // 64) % 64 AS INT) AS height,
-      |         CAST(1 + length(text) % 8 AS INT) AS n_frames
+      |         CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+      |              ELSE 'audio/fake' END AS mime,
+      |         CASE WHEN doc_id % 2 = 0 THEN CAST(1 + length(text) % 16 AS INT)
+      |              ELSE CAST(64 + length(text) % 64 AS INT) END AS width,
+      |         CASE WHEN doc_id % 2 = 0 THEN CAST(1 + (length(text) // 16) % 16 AS INT)
+      |              ELSE CAST(64 + (length(text) // 64) % 64 AS INT) END AS height,
+      |         CASE WHEN doc_id % 2 = 0 THEN 1
+      |              ELSE CAST(1 + length(text) % 8 AS INT) END AS n_frames
       |  FROM documents)""".stripMargin
 }

