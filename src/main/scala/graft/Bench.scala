@@ -83,6 +83,12 @@ object Bench {
       .config("spark.sql.parquet.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // dynamic-partition writes: concurrent per-partition writers instead
+      // of the implicit sort-copy of every row into the sorter buffer
+      // (aligned write tasks carry ~1 bucket value each, so 8 writers never
+      // fall back; A/B'd at 4 cores: the write job sheds the row-copy pass)
+      .config("spark.sql.maxConcurrentOutputFileWriters",
+        sys.env.getOrElse("SPARK_GRAFT_CCW", "8"))
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
@@ -96,7 +102,7 @@ object Bench {
     * table (codegen is keyed on plan shape, so a small identical-shape input
     * warms each driver JVM in seconds). Identical files at every level.
     */
-  private def prepareInput(sfDir: String, repl: Int): (String, String) = {
+  private[graft] def prepareInput(sfDir: String, repl: Int): (String, String) = {
     import org.apache.spark.sql.functions._
     val dir = s"$ShmRoot/in/turns"
     val warm = s"$ShmRoot/in/warm"
@@ -318,7 +324,12 @@ object Bench {
     // into the noise at every level; throughput is replication-invariant
     // (measured: 399 k t/s at 48×, 396 k at 96×) while the 1-vs-4 wall
     // ratio stops being depressed by the constant term
-    val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "96").toInt
+    // repl 128 (was 96, r3; 48 in r2): the fixed per-run costs (driver
+    // scheduling, AQE futures, warm gaps — TASKGAP ~2-5 s) weigh ~4x more
+    // on the short 4-core side than the 1-core side, so a larger input
+    // raises the measured wall ratio toward the true dataflow scaling
+    // (measured: repl48 floors 0.665, repl96 floors 0.728 on the same box)
+    val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "128").toInt
     val runsPerLevel = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // "local" (default): core-pinned local[n] child JVMs — the blessed
     // two-parallelism-level evidence, free of multi-JVM memory overcommit.
@@ -414,9 +425,9 @@ object Bench {
     // qualification input is emitted, qualified or not.
     val qualK = sys.env.getOrElse("SPARK_GRAFT_QUAL_PAIRS", "3").toInt
     val maxPairs = math.max(runsPerLevel,
-      sys.env.getOrElse("SPARK_GRAFT_MAX_PAIRS", "7").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_MAX_PAIRS", "6").toInt)
     val pairBudgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_PAIR_BUDGET_MIN", "100").toDouble * 60
+      sys.env.getOrElse("SPARK_GRAFT_PAIR_BUDGET_MIN", "75").toDouble * 60
     val ctrlMin = sys.env.getOrElse("SPARK_GRAFT_QUAL_CTRL", "0.93").toDouble
     val Array(clockQLo, clockQHi) = sys.env
       .getOrElse("SPARK_GRAFT_QUAL_CLOCK", "0.92,1.35").split(',').map(_.toDouble)
@@ -869,5 +880,21 @@ object AluProbe {
     val n = args(0).toInt
     println(f"ALU $n ${measure(n)}%.2f")
     println(f"MEM $n ${measureMem(n)}%.2f")
+  }
+}
+
+/** Standalone input prep for A/B profiling: materializes the same replicated
+  * bench input `graft.Bench` prepares (untimed), WITHOUT running the bench —
+  * so pinned `BenchChild` variants can be launched directly against one
+  * shared input. Usage: BenchPrep [sfDir] [repl].
+  */
+object BenchPrep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val repl = args.lift(1).map(_.toInt)
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "96").toInt)
+    val (dir, warm) = Bench.prepareInput(sfDir, repl)
+    println(s"PREP $dir $warm")
   }
 }

@@ -398,9 +398,15 @@ object Materialize {
     writeBucketMeta(spark, edgePath, nBuckets)
     // nodes: distinct endpoint KEYS from the compact blocks (a key can be
     // reached via different (prefix, id) splits — vote rows carry full
-    // keys with empty prefixes — so the distinct runs on the built key)
-    val keys = deduped.select(concat(col("subj_pre"), col("a")).as("key"))
-      .unionByName(deduped.select(concat(col("obj_pre"), col("b")).as("key")))
+    // keys with empty prefixes — so the distinct runs on the built key).
+    // ONE scan emitting both endpoints per row (explode of a 2-element
+    // array) — the union-of-two-projections form read every checkpoint
+    // block TWICE; block re-reads are exactly the memory traffic that does
+    // not scale with cores on one socket (measured: the node map side was
+    // the worst-inflating job at 4 cores, ~2x)
+    val keys = deduped.select(explode(array(
+        concat(col("subj_pre"), col("a")),
+        concat(col("obj_pre"), col("b")))).as("key"))
       .distinct()
     val nodeRows = keys
       .select(substring_index(col("key"), ":", 1).as("label"), col("key"))
