@@ -446,8 +446,7 @@ object Bench {
       if (ctrlRuns > 0 && mode != "cluster")
         Some((runControl(1, ctrlRuns) / runControl(4, ctrlRuns)) / 4.0)
       else None
-    def measurePair(): Pair = {
-      val pre = controlBracket()
+    def measurePair(pre: Option[Double]): Pair = {
       val a = measureSide(1, pairSamples)
       val b = measureSide(4, pairSamples)
       val post = controlBracket()
@@ -468,19 +467,53 @@ object Bench {
       }
     }
 
+    // PROBE GATE (round 4b): a full dataflow pair costs ~13 min; a control
+    // bracket costs ~1.5 min. When the PRE bracket already reads below the
+    // qualification threshold the window is dirty and the pair CANNOT
+    // qualify — running it anyway spends 13 min of budget measuring noise
+    // (run r04_a: 7 pairs, 90 min, all in dirty windows, 0 qualified). So
+    // the pre bracket doubles as a cheap gate: below threshold → record the
+    // probe, sleep briefly (co-tenant bursts last minutes), retry. Purely
+    // mechanical — the threshold is the SAME ctrlMin the qualifier uses,
+    // every skipped probe is emitted (probe_skip_*), and a budget reserve
+    // guarantees at least `runsPerLevel` ungated pairs still run if the
+    // window never cleans up (forced pairs → the honest all-pairs fallback).
+    val probeSleepSec =
+      sys.env.getOrElse("SPARK_GRAFT_PROBE_SLEEP_SEC", "45").toDouble
+    val skippedProbes = scala.collection.mutable.ArrayBuffer[Double]()
     val (pairs, hiResults) = withMaster {
       val buf = scala.collection.mutable.ArrayBuffer[Pair]()
+      var pairCostSum = 0.0
       val t0 = System.nanoTime()
       def elapsedSec: Double = (System.nanoTime() - t0) / 1e9
+      val estPairSec0 =
+        sys.env.getOrElse("SPARK_GRAFT_EST_PAIR_SEC", "850").toDouble
+      def estPairSec: Double =
+        if (buf.nonEmpty) pairCostSum / buf.size else estPairSec0
       while (buf.size < maxPairs &&
           (buf.size < runsPerLevel ||
             (qualFlags(buf.toSeq).count(identity) < qualK &&
               elapsedSec < pairBudgetSec))) {
-        buf += measurePair()
-        System.err.println(f"[bench] pair ${buf.size} wall ${buf.last.wall}%.3f " +
-          f"ctrl ${buf.last.ctrl.getOrElse(-1.0)}%.3f clock ${buf.last.clock}%.3f " +
-          f"qualified ${qualFlags(buf.toSeq).count(identity)}/$qualK " +
-          f"elapsed ${elapsedSec}%.0f s")
+        // once remaining budget only fits the minimum ungated pairs, stop
+        // gating so the fallback set is guaranteed on the record
+        val mustRun = buf.size < runsPerLevel &&
+          elapsedSec > pairBudgetSec - (runsPerLevel - buf.size) * estPairSec
+        val pre = controlBracket()
+        if (!mustRun && pre.exists(_ < ctrlMin)) {
+          skippedProbes += pre.get
+          System.err.println(f"[bench] probe ${skippedProbes.size} ctrl " +
+            f"${pre.get}%.3f < $ctrlMin — window dirty, pair skipped " +
+            f"(elapsed ${elapsedSec}%.0f s)")
+          Thread.sleep((probeSleepSec * 1000).toLong)
+        } else {
+          val tp = System.nanoTime()
+          buf += measurePair(pre)
+          pairCostSum += (System.nanoTime() - tp) / 1e9
+          System.err.println(f"[bench] pair ${buf.size} wall ${buf.last.wall}%.3f " +
+            f"ctrl ${buf.last.ctrl.getOrElse(-1.0)}%.3f clock ${buf.last.clock}%.3f " +
+            f"qualified ${qualFlags(buf.toSeq).count(identity)}/$qualK " +
+            f"elapsed ${elapsedSec}%.0f s")
+        }
       }
       val h = hiLevels.map(l => measure(l, runsPerLevel))
       (buf.toSeq, h)
@@ -583,7 +616,13 @@ object Bench {
         "qual_floor_tol" -> floorTol,
         "qualified_pairs" -> qualifiedPairs.size.toDouble,
         "attempted_pairs" -> pairs.size.toDouble,
-        "scaling_efficiency_all_pairs" -> med(pairs.map(_.wall)))
+        "scaling_efficiency_all_pairs" -> med(pairs.map(_.wall))) ++
+        // every gated-out probe on the record: a pre-bracket control that
+        // read below qual_ctrl_min, so the 13-min dataflow pair was skipped
+        Map("probe_skips" -> skippedProbes.size.toDouble) ++
+        skippedProbes.zipWithIndex.map { case (v, i) =>
+          s"probe_skip_${i + 1}" -> v
+        }.toMap
     // The PLAIN scaling_efficiency key is the measured WALL ratio (ADVICE
     // r2: a consumer reading the key alone must see the measured number);
     // the clock-probe-normalized value is emitted under an explicit name.
@@ -608,7 +647,7 @@ object Bench {
     val pairDesc =
       (if (cpus >= 8) s"1 vs 4 cores (headline) and ${cpus / 4} vs $cpus (scaling_efficiency_hi; one shared memory bus/LLC)"
        else "1 vs 4 cores") +
-        s"; headline = median of the QUALIFIED interleaved 1-core/4-core pairs (${qualifiedPairs.size} of ${pairs.size} attempted; pairs are collected until $qualK qualify or the budget runs out) where a pair qualifies mechanically iff its in-window pure-compute control (min of a PRE and a POST bracket) >= $ctrlMin AND clock-probe ratio in [$clockQLo,$clockQHi] AND membw-probe ratio in [$membwQLo,$membwQHi] AND both side minima within ${floorTol}x of the run's own per-side floors; every attempted pair + every qualification input emitted (eff_wall_pair*/clock_pair*/membw_pair*/eff_wall_control_{pre,post}_pair*/qual_pair*), median over ALL pairs emitted as scaling_efficiency_all_pairs" +
+        s"; headline = median of the QUALIFIED interleaved 1-core/4-core pairs (${qualifiedPairs.size} of ${pairs.size} attempted; pairs are collected until $qualK qualify or the budget runs out) where a pair qualifies mechanically iff its in-window pure-compute control (min of a PRE and a POST bracket) >= $ctrlMin AND clock-probe ratio in [$clockQLo,$clockQHi] AND membw-probe ratio in [$membwQLo,$membwQHi] AND both side minima within ${floorTol}x of the run's own per-side floors; every attempted pair + every qualification input emitted (eff_wall_pair*/clock_pair*/membw_pair*/eff_wall_control_{pre,post}_pair*/qual_pair*), median over ALL pairs emitted as scaling_efficiency_all_pairs; dirty windows are PRE-GATED (${skippedProbes.size} probe(s) skipped this run, each emitted as probe_skip_*): when the pre control bracket already reads < $ctrlMin the pair cannot qualify, so the budget is spent waiting for a clean window instead of measuring co-tenant noise, with a budget reserve forcing ungated fallback pairs if none appears" +
         (if (qualifiedPairs.isEmpty) "; NO pair qualified this run - scaling_efficiency falls back to the all-pairs median" else "")
     println(
       s"""{"metric":"end-to-end triples/sec (extract->link->canonicalize->materialize), $modeDesc, median-of-$runsPerLevel per level, scaling $pairDesc; scaling_efficiency is the MEASURED WALL ratio; the in-run per-core ALU clock probe's normalized value (clock ratio ${f"$clockLow%.2f"}x this run; a real N->4N cluster adds machines at identical clocks) is emitted separately as scaling_efficiency_cycle_norm; in-run probes emitted per level (alu=clock, mem=streaming bandwidth) plus an IN-WINDOW pure-compute Spark control pair (codegen range->xxhash64->bit_xor, same pinning; emitted as scaling_efficiency_compute_control / eff_wall_control_pair*) show where the single shared L3/memory system caps string-dataflow wall scaling on this one-socket box (BASELINE.md has the full measured diagnosis; the capped resource is per-node on a real cluster)","value":${f"$tpsTop%.2f"},"unit":"triples/sec","queries":$qs,"sf":"$sfDir"}""")
