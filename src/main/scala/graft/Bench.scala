@@ -229,6 +229,23 @@ object Bench {
     * scales ~0.7, the gap is the shared L3/memory system, not the harness.
     * Returns the min-of-runs wall seconds (same estimator as the pair).
     */
+  /** Probe-gate policy, pure for unit testing: skip the (expensive)
+    * dataflow pair iff the PRE control bracket proves the window dirty
+    * (`preCtrl < ctrlMin` — the pair could not qualify) AND the budget
+    * reserve still fits the minimum ungated fallback pairs. Once
+    * `elapsedSec` eats into the reserve (`(minPairs - bufSize) ×
+    * estPairSec` before the budget ends), pairs run regardless of window
+    * state so a never-clean window still yields the all-pairs fallback
+    * median. A missing control (cluster mode / ctrlRuns=0) never gates.
+    */
+  private[graft] def gateSkip(preCtrl: Option[Double], ctrlMin: Double,
+      bufSize: Int, minPairs: Int, elapsedSec: Double, budgetSec: Double,
+      estPairSec: Double): Boolean = {
+    val mustRun = bufSize < minPairs &&
+      elapsedSec > budgetSec - (minPairs - bufSize) * estPairSec
+    !mustRun && preCtrl.exists(_ < ctrlMin)
+  }
+
   private[graft] def runControl(n: Int, runs: Int): Double = {
     val extra = sys.env.getOrElse("SPARK_GRAFT_DRIVER_CORE", "1").toInt
     val pinned = math.min(n + extra, Runtime.getRuntime.availableProcessors())
@@ -494,12 +511,9 @@ object Bench {
           (buf.size < runsPerLevel ||
             (qualFlags(buf.toSeq).count(identity) < qualK &&
               elapsedSec < pairBudgetSec))) {
-        // once remaining budget only fits the minimum ungated pairs, stop
-        // gating so the fallback set is guaranteed on the record
-        val mustRun = buf.size < runsPerLevel &&
-          elapsedSec > pairBudgetSec - (runsPerLevel - buf.size) * estPairSec
         val pre = controlBracket()
-        if (!mustRun && pre.exists(_ < ctrlMin)) {
+        if (Bench.gateSkip(pre, ctrlMin, buf.size, runsPerLevel,
+            elapsedSec, pairBudgetSec, estPairSec)) {
           skippedProbes += pre.get
           System.err.println(f"[bench] probe ${skippedProbes.size} ctrl " +
             f"${pre.get}%.3f < $ctrlMin — window dirty, pair skipped " +
