@@ -377,7 +377,7 @@ object Materialize {
     // checkpoint the CODED rows: both consumers (edge write, node
     // derivation) re-read ~id-sized blocks and decode in their own codegen
     val deduped = decoded(
-      alignedDedupCoded(compact, nBuckets, filesPerBucket).localCheckpoint(false))
+      graft.util.Ckpt(alignedDedupCoded(compact, nBuckets, filesPerBucket)))
     val e = deduped.select(
       substring_index(concat(col("subj_pre"), col("a")), ":", 1).as("src_label"),
       concat(col("subj_pre"), col("a")).as("src_key"),

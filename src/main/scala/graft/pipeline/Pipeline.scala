@@ -66,8 +66,10 @@ object Pipeline {
         // avoidance, PLUS it truncates the logical plan — downstream trees
         // (triples union branches, rewrite joins) otherwise each carry the
         // full extract subtree into Catalyst analysis/optimization on every
-        // action, which is serial driver time
-        df.localCheckpoint(false)
+        // action, which is serial driver time. Block storage level is the
+        // measured policy in graft.util.Ckpt (deserialized; the serialized
+        // trade was A/B-rejected).
+        graft.util.Ckpt(df)
     }
     val wide = stage(Extract.mentionsWide(turns), "mentions")
     // The wide table is one row per turn, so a turn's speaker and case
