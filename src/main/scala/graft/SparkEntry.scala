@@ -2,11 +2,11 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.analysis.{Interruptions, Voting}
+import graft.analysis.{GraphAnalytics, Interruptions, Voting}
 import graft.extract.Extract
 import graft.functions.FuzzRatio
 import graft.link.Link
-import graft.oracle.{DataOpsSql, MatchSql, OracleSql}
+import graft.oracle.{DataOpsSql, GraphSql, MatchSql, OracleSql}
 import graft.synth.{Dict, TranscriptGen}
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -296,6 +296,35 @@ object SparkEntry {
       graft.materialize.Materialize.readEdges(s, wh)
         .select("src_label", "src_key", "rel_type", "dst_label", "dst_key")
         .orderBy("src_key", "rel_type", "dst_key")
+    }),
+
+    // ---- graph analytics over the constructed KG (post-construction
+    // query surface — the Cypher-analysis analogue, run Spark-first on the
+    // canonical triple set) ----
+
+    // Per-node in/out/total degree centrality
+    "kg_degree" -> ((s, dir) => {
+      GraphAnalytics.degrees(graft.pipeline.Pipeline.build(s, turns(s, dir)).canonical)
+        .orderBy("node")
+    }),
+
+    // Distinct persons within <=2 undirected co-discussion hops
+    "kg_two_hop" -> ((s, dir) => {
+      GraphAnalytics.twoHopReach(graft.pipeline.Pipeline.build(s, turns(s, dir)).canonical)
+        .orderBy("node")
+    }),
+
+    // Per-node triangle participation in the co-discussion projection
+    "kg_triangles" -> ((s, dir) => {
+      GraphAnalytics.triangles(graft.pipeline.Pipeline.build(s, turns(s, dir)).canonical)
+        .orderBy("node")
+    }),
+
+    // Fixed-point integer PageRank (10 iterations, exact cross-engine
+    // arithmetic — see GraphAnalytics.pageRank)
+    "kg_pagerank" -> ((s, dir) => {
+      GraphAnalytics.pageRank(graft.pipeline.Pipeline.build(s, turns(s, dir)).canonical, 10)
+        .orderBy("node")
     }),
 
     // ---- training-data operators (documents / embeddings tables) ----
@@ -728,6 +757,26 @@ object SparkEntry {
     "kg_canonical_triples" -> OracleSql.withCtes(
       (OracleSql.tripleChain :+ OracleSql.canonicalCtes): _*)(
       "SELECT subj, pred, obj FROM canonical_triples ORDER BY subj, pred, obj"),
+
+    "kg_degree" -> OracleSql.withCtes(
+      (OracleSql.tripleChain :+ OracleSql.canonicalCtes :+
+        GraphSql.graphBaseCtes :+ GraphSql.degreesCte): _*)(
+      "SELECT node, out_deg, in_deg, degree FROM gdegrees ORDER BY node"),
+
+    "kg_two_hop" -> OracleSql.withCtes(
+      (OracleSql.tripleChain :+ OracleSql.canonicalCtes :+
+        GraphSql.coDiscussionCte :+ GraphSql.twoHopCte): _*)(
+      "SELECT node, reach2 FROM twohop ORDER BY node"),
+
+    "kg_triangles" -> OracleSql.withCtes(
+      (OracleSql.tripleChain :+ OracleSql.canonicalCtes :+
+        GraphSql.coDiscussionCte :+ GraphSql.trianglesCte): _*)(
+      "SELECT node, n_triangles FROM gtricount ORDER BY node"),
+
+    "kg_pagerank" -> OracleSql.withCtes(
+      (OracleSql.tripleChain :+ OracleSql.canonicalCtes :+
+        GraphSql.graphBaseCtes :+ GraphSql.pageRankCtes(10)): _*)(
+      "SELECT node, rank_fp FROM pr10 ORDER BY node"),
 
     "kg_nodes" -> OracleSql.withCtes(
       (OracleSql.tripleChain :+ OracleSql.canonicalCtes): _*)(

@@ -52,6 +52,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("ShuffledHashJoin"), s"shuffled join in link plan:\n$p")
   }
 
+  test("graph degrees is join-free: two map-side-combined aggs, two exchanges") {
+    val t = Seq(("a", "P", "b"), ("c", "P", "b")).toDF("subj", "pred", "obj")
+    val p = plan(graft.analysis.GraphAnalytics.degrees(t))
+    assert(!p.contains("Join"), s"join in degrees plan:\n$p")
+    // partial aggregation before each exchange (map-side combine)
+    assert(p.contains("partial_sum") || p.contains("partial"), s"no partial agg:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"degrees plan has $exchanges exchanges (expect <=2):\n$p")
+  }
+
   test("the WHOLE canonical-triple plan contains no shuffle join (broadcast dims only)") {
     // r3: the discusses derivation is join-free (the co-row zaak link rides
     // the argmax as carry columns), so the only joins left anywhere in the
