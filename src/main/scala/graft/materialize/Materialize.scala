@@ -367,6 +367,45 @@ object Materialize {
     coded.select(decodeCode(_._1, "pred"), col("a"), col("b"),
       decodeCode(_._2, "subj_pre"), decodeCode(_._3, "obj_pre"), col("bucket"))
 
+  /** Prefix codes grouped by their DISTINCT prefix value (largest group
+    * last so it becomes the `otherwise` branch): the 12-entry vocabulary
+    * collapses to 3 subject / 5 object prefixes, so the per-row decode is
+    * 2-4 int comparisons instead of 12.
+    */
+  private def groupedPre(field: ((String, String, String)) => String)
+      : Seq[(String, Seq[Int])] =
+    graft.triples.Triples.compactVocab.zipWithIndex
+      .groupBy { case (v, _) => field(v) }
+      .toSeq.map { case (p, xs) => (p, xs.map(_._2)) }
+      .sortBy(_._2.size)
+
+  private def byPre(field: ((String, String, String)) => String)(
+      mk: String => org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val gs = groupedPre(field)
+    gs.init.foldRight(mk(gs.last._1)) { case ((p, codes), acc) =>
+      when(col("_pc").isin(codes.map(Integer.valueOf): _*), mk(p)).otherwise(acc)
+    }
+  }
+
+  /** Endpoint KEY straight from the coded row: `concat(prefix, id)` with the
+    * prefix a literal per code group — empty-prefix rows (votes) carry the
+    * full key in the id column already, so they skip the concat entirely.
+    */
+  private def keyFromCode(field: ((String, String, String)) => String,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    byPre(field)(p => if (p.isEmpty) id else concat(lit(p), id))
+
+  /** Endpoint LABEL straight from the coded row: a literal (the prefix minus
+    * its trailing colon) for every non-empty prefix — the string parse
+    * (`substring_index` over a freshly built key, one allocation per
+    * endpoint per row in the old form) only remains for the empty-prefix
+    * rows whose id column genuinely holds an opaque `label:id` key.
+    */
+  private def labelFromCode(field: ((String, String, String)) => String,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    byPre(field)(p =>
+      if (p.isEmpty) substring_index(id, ":", 1) else lit(p.stripSuffix(":")))
+
   private[graft] def alignedDedup(compact: DataFrame, nBuckets: Int,
       filesPerBucket: Int): DataFrame =
     decoded(alignedDedupCoded(compact, nBuckets, filesPerBucket))
@@ -376,14 +415,15 @@ object Materialize {
     val edgePath = s"$warehouse/edges"
     // checkpoint the CODED rows: both consumers (edge write, node
     // derivation) re-read ~id-sized blocks and decode in their own codegen
-    val deduped = decoded(
-      graft.util.Ckpt(alignedDedupCoded(compact, nBuckets, filesPerBucket)))
-    val e = deduped.select(
-      substring_index(concat(col("subj_pre"), col("a")), ":", 1).as("src_label"),
-      concat(col("subj_pre"), col("a")).as("src_key"),
-      col("pred").as("rel_type"),
-      substring_index(concat(col("obj_pre"), col("b")), ":", 1).as("dst_label"),
-      concat(col("obj_pre"), col("b")).as("dst_key"),
+    val codedCk = graft.util.Ckpt(alignedDedupCoded(compact, nBuckets, filesPerBucket))
+    // labels/keys decode straight from the prefix code — grouped literal
+    // branches, no decode→concat→substring_index round trip per endpoint
+    val e = codedCk.select(
+      labelFromCode(_._2, col("a")).as("src_label"),
+      keyFromCode(_._2, col("a")).as("src_key"),
+      decodeCode(_._1, "rel_type"),
+      labelFromCode(_._3, col("b")).as("dst_label"),
+      keyFromCode(_._3, col("b")).as("dst_key"),
       col("bucket"))
     // the edge count rides the write itself as an observed metric — the
     // string path's final `read.parquet(edges).count()` job re-parsed every
@@ -394,7 +434,14 @@ object Materialize {
     // partition write still emits ~nBuckets × filesPerBucket files
     // regardless of core count
     e.observe(obs, count(lit(1)).as("n"))
-      .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(edgePath)
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite)
+      // endpoint keys are near-unique — the dictionary encoder hashes every
+      // value into a 1 MiB dict page, overflows it, then falls back to
+      // plain per page; skip that churn for the two key columns (labels and
+      // rel_type keep their genuinely tiny dictionaries)
+      .option("parquet.enable.dictionary#src_key", "false")
+      .option("parquet.enable.dictionary#dst_key", "false")
+      .parquet(edgePath)
     writeBucketMeta(spark, edgePath, nBuckets)
     // nodes: distinct endpoint KEYS from the compact blocks (a key can be
     // reached via different (prefix, id) splits — vote rows carry full
@@ -404,15 +451,17 @@ object Materialize {
     // block TWICE; block re-reads are exactly the memory traffic that does
     // not scale with cores on one socket (measured: the node map side was
     // the worst-inflating job at 4 cores, ~2x)
-    val keys = deduped.select(explode(array(
-        concat(col("subj_pre"), col("a")),
-        concat(col("obj_pre"), col("b")))).as("key"))
+    val keys = codedCk.select(explode(array(
+        keyFromCode(_._2, col("a")),
+        keyFromCode(_._3, col("b")))).as("key"))
       .distinct()
     val nodeRows = keys
       .select(substring_index(col("key"), ":", 1).as("label"), col("key"))
       .withColumn("bucket", pmod(xxhash64(col("key")), lit(nBuckets)).cast("int"))
     alignedForWrite(nodeRows, xxhash64(col("key")), nBuckets, filesPerBucket)
-      .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(s"$warehouse/nodes")
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite)
+      .option("parquet.enable.dictionary#key", "false")
+      .parquet(s"$warehouse/nodes")
     writeBucketMeta(spark, s"$warehouse/nodes", nBuckets)
     obs.get("n").asInstanceOf[Long]
   }
