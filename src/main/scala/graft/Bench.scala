@@ -105,19 +105,31 @@ object Bench {
     * `repl`× under distinct conv_ids, ONE parquet table + a repl-1 warm-up
     * table (codegen is keyed on plan shape, so a small identical-shape input
     * warms each driver JVM in seconds). Identical files at every level.
+    * Fully deterministic (seeded TranscriptGen), so a mid-run rebuild after
+    * external cleanup of /dev/shm reproduces byte-identical row sets.
     */
-  private[graft] def prepareInput(sfDir: String, repl: Int): (String, String) = {
+  private[graft] def prepareInput(sfDir: String, repl: Int,
+      root: String = ShmRoot): (String, String) = {
     import org.apache.spark.sql.functions._
-    val dir = s"$ShmRoot/in/turns"
-    val warm = s"$ShmRoot/in/warm"
+    val dir = s"$root/in/turns"
+    val warm = s"$root/in/warm"
+    // a live context (the ScalaTest shared session, when a rebuild runs
+    // inside a spec) must be reused and NOT stopped; a stopped default
+    // session from an earlier prepare/rebuild would poison getOrCreate,
+    // so clear those before building
+    val hadLiveContext = (SparkSession.getActiveSession.toSeq ++
+      SparkSession.getDefaultSession.toSeq).exists(!_.sparkContext.isStopped)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val s = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", s"$ShmRoot/local")
+      .config("spark.local.dir", s"$root/local")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     FuzzRatio.register(s)
+    def cleanup(): Unit = if (!hadLiveContext) s.stop()
     try {
       val t = TranscriptGen.transcripts(s, sfDir)
       val all = (0 until repl)
@@ -130,8 +142,30 @@ object Bench {
       // which keeps the PAIRED protocol's child JVMs cheap (see main)
       t.withColumn("conv_id", concat(lit("w/"), col("conv_id")))
         .repartition(8).write.mode("overwrite").parquet(warm)
-    } finally s.stop()
+    } finally cleanup()
     (dir, warm)
+  }
+
+  /** Both input tables present and committed (parquet `_SUCCESS` markers). */
+  private[graft] def inputReady(root: String = ShmRoot): Boolean =
+    new File(s"$root/in/turns/_SUCCESS").exists() &&
+      new File(s"$root/in/warm/_SUCCESS").exists()
+
+  /** CRASH SAFETY (round 5): the bench input lives on `/dev/shm`, which this
+    * host's co-tenant/harness demonstrably cleans mid-run — round 4's driver
+    * artifact died 42 minutes in when `/dev/shm/graft-bench` vanished and the
+    * child's blind retry re-read the same missing path. The input is cheap
+    * (~2 min) and fully deterministic to rebuild, so every child launch (and
+    * every retry) goes through this existence check instead of trusting the
+    * path: missing `_SUCCESS` markers → rebuild in place, identical rows.
+    */
+  private[graft] def ensureInput(sfDir: String, repl: Int,
+      root: String = ShmRoot): (String, String) = {
+    if (!inputReady(root)) {
+      System.err.println(
+        s"[bench] input missing under $root (external tmpfs cleanup?) — rebuilding")
+      prepareInput(sfDir, repl, root)
+    } else (s"$root/in/turns", s"$root/in/warm")
   }
 
   /** JDK-17 module opens for raw `java` launches of Spark JVMs. */
@@ -189,6 +223,10 @@ object Bench {
     // port range), not every Spark executor on the host (ADVICE r2)
     Seq("pkill", "-9", "-f",
       "CoarseGrainedExecutorBackend.*spark://Worker@127.0.0.1:41").!
+    // an orphaned clock spinner (parent hard-killed before destroyForcibly)
+    // would burn the large side's cores at 100% and contaminate every
+    // subsequent run — belt (stdin-EOF self-exit in Spinner) and braces
+    Seq("pkill", "-9", "-f", "graft.Spinner").!
     ()
   }
 
@@ -198,25 +236,73 @@ object Bench {
 
   /** CLOCK EQUALIZATION by ACTIVITY MATCHING (round 4). On this host the
     * package clock falls with the number of ACTIVE cores (in-run ALU probes,
-    * run e: 696 Mops/thread at 1 active core, 661 at 5, 556 at 9, 329 at
-    * 32) — so the small side of a scaling pair systematically runs ~5%
-    * faster per cycle than the large side, which directly depresses the
-    * measured wall ratio. A real N→4N cluster adds machines at IDENTICAL
-    * clocks, so the cluster-faithful comparison runs both sides at the same
-    * activity level: during the SMALL side of each pair (and its probes and
-    * control brackets) a register-only ALU spinner is pinned to exactly the
-    * cores the LARGE side would additionally use. The spinner touches no
+    * run d: 696 Mops/thread at 1 active core, 661 at 5, 556 at 9, 329 at
+    * 32; run e read 654 at 1, 551 at 4 — the ladder drifts with co-tenant
+    * load, which is why the emitted metric text interpolates the CURRENT
+    * run's own probe readings instead of these historical constants) — so
+    * the small side of a scaling pair systematically runs ~5% faster per
+    * cycle than the large side, which directly depresses the measured wall
+    * ratio. A real N→4N cluster adds machines at IDENTICAL clocks, so the
+    * cluster-faithful comparison runs both sides at the same activity
+    * level: during the SMALL side of each pair (and its probes and control
+    * brackets) a register-only ALU spinner is pinned to exactly the cores
+    * the LARGE side would additionally use. The spinner touches no
     * L3/memory (AluProbe-style LCG chains in registers), so it cannot
     * contend with the measured cores for anything except the package
     * power/clock budget — which is precisely the term being equalized.
-    * Matched clocks are verified ON the record by the per-side ALU probes
-    * (clock_pair*, systematic component ≈ 1.0; residual swings are
-    * co-tenant DVFS noise the qualification gate still screens). Disable
-    * with SPARK_GRAFT_EQ_CLOCK=0.
+    * That no-contention claim assumes the spun logical CPUs are not SMT
+    * siblings of the measured ones (siblings share execution ports):
+    * `smtSiblingsPresent` reads the kernel topology and DISABLES
+    * equalization on any SMT host, so the assumption is asserted, not
+    * hoped. Matched clocks are verified ON the record by the per-side ALU
+    * probes (clock_pair*, systematic component ≈ 1.0; residual swings are
+    * co-tenant DVFS noise the qualification gate still screens), and each
+    * pair additionally emits the UNequalized small-side clock reading
+    * (clock_unequalized_pair*) so the size of the removed term is itself
+    * data. NOTE for cross-run comparisons: equalization lifts
+    * scaling_efficiency / triples_per_sec@1 / total_sec_min@1 by the ~5%
+    * term relative to pre-round-4 records under the same key names — key
+    * any cross-run table on the emitted `clock_equalized` flag
+    * (BASELINE.md's run index does). Disable with SPARK_GRAFT_EQ_CLOCK=0.
     */
-  private val equalizeClock = !sys.env.get("SPARK_GRAFT_EQ_CLOCK").contains("0")
+  /** "a-b,c" cpu-list syntax from sysfs (thread_siblings_list). */
+  private[graft] def parseCpuList(s: String): Seq[Int] =
+    s.trim.split(',').toSeq.filter(_.nonEmpty).flatMap { tok =>
+      tok.split('-') match {
+        case Array(a)    => Seq(a.trim.toInt)
+        case Array(a, b) => a.trim.toInt to b.trim.toInt
+        case _           => Nil
+      }
+    }
 
-  /** Spin cores [from, until) for the duration of `body`. */
+  /** True iff any online CPU reports an SMT sibling (a second logical CPU on
+    * its physical core). Unreadable topology (non-Linux, masked sysfs) is
+    * treated as no-SMT-detected — the probes would still catch a clock skew.
+    */
+  private[graft] lazy val smtSiblingsPresent: Boolean =
+    try {
+      (0 until Runtime.getRuntime.availableProcessors()).exists { c =>
+        val f = new File(
+          s"/sys/devices/system/cpu/cpu$c/topology/thread_siblings_list")
+        f.exists() && parseCpuList(
+          java.nio.file.Files.readString(f.toPath)).exists(_ != c)
+      }
+    } catch { case _: Throwable => false }
+
+  private lazy val equalizeClock = {
+    val wanted = !sys.env.get("SPARK_GRAFT_EQ_CLOCK").contains("0")
+    if (wanted && smtSiblingsPresent)
+      System.err.println("[bench] SMT siblings detected — clock equalization " +
+        "DISABLED (a spinner on a sibling would contend for execution ports, " +
+        "not just the package clock budget); clock_equalized=0")
+    wanted && !smtSiblingsPresent
+  }
+
+  /** Spin cores [from, until) for the duration of `body`. A spinner that
+    * dies (at startup or mid-measurement) invalidates the sample — the
+    * measurement would run unequalized while the record says equalized — so
+    * both cases THROW and the caller's retry logic re-measures.
+    */
   private def withSpin[T](from: Int, until: Int)(body: => T): T = {
     val hi = math.min(until, Runtime.getRuntime.availableProcessors())
     val nSpin = hi - from
@@ -229,16 +315,34 @@ object Bench {
       pb.redirectErrorStream(true)
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
       val p = pb.start()
-      // let the spinner threads JIT and the package clock settle
-      try { Thread.sleep(500); body }
-      finally { p.destroyForcibly(); p.waitFor() }
+      var bodyDone = false
+      try {
+        // let the spinner threads JIT and the package clock settle
+        Thread.sleep(500)
+        require(p.isAlive, "clock spinner died at startup — sample would be " +
+          "unequalized but labeled clock_equalized=1")
+        val r = body
+        bodyDone = true
+        r
+      } finally {
+        val survived = p.isAlive
+        p.destroyForcibly()
+        p.waitFor()
+        // only raise the mid-measurement death if the body itself succeeded
+        // (otherwise the original exception must propagate)
+        if (bodyDone && !survived)
+          sys.error("clock spinner died mid-measurement — sample discarded")
+      }
     }
   }
 
   private final case class LevelResult(
       cpus: Int, triples: Long, medianSec: Double, minSec: Double,
       maxSec: Double, medianStages: Map[String, Double], aluMops: Double,
-      memMlongs: Double)
+      memMlongs: Double,
+      // small sides only, when equalization is active: the same ALU probe
+      // run WITHOUT the spinner, so the removed turbo term is on the record
+      aluUnspun: Double = 0.0)
 
   /** Per-level clock probe in a DEDICATED child JVM pinned to the level's
     * WORKER cores (`pin`), n concurrent chains. Running the probe inside the
@@ -246,11 +350,16 @@ object Bench {
     * to its own 2 cores, so an n-thread probe there measures thread
     * oversubscription, not worker-core clocks.
     */
-  /** Returns (aluMopsPerThread, memMlongsPerThread) for n threads on `pin`. */
-  private def probeClock(pin: String, n: Int): (Double, Double) = {
+  /** Returns (aluMopsPerThread, memMlongsPerThread) for n threads on `pin`;
+    * `aluOnly` skips the memory-streaming pass (used for the cheap
+    * unequalized-clock reading emitted next to each equalized sample).
+    */
+  private def probeClock(pin: String, n: Int,
+      aluOnly: Boolean = false): (Double, Double) = {
     val heap = s"${256 * n + 512}m"
     val cmd = Seq("taskset", "-c", pin, javaBin, s"-Xmx$heap",
-      "-cp", classpath, "graft.AluProbe", n.toString)
+      "-cp", classpath, "graft.AluProbe", n.toString) ++
+      (if (aluOnly) Seq("alu") else Nil)
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val proc = pb.start()
@@ -259,7 +368,7 @@ object Bench {
     def line(tag: String): Double =
       out.linesIterator.find(_.startsWith(tag)).map(_.trim.split("\\s+")(2).toDouble)
         .getOrElse(sys.error(s"no $tag line from probe:\n$out"))
-    (line("ALU "), line("MEM "))
+    (line("ALU "), if (aluOnly) 0.0 else line("MEM "))
   }
 
   /** Pure-compute Spark CONTROL in a dedicated child JVM, pinned exactly
@@ -365,9 +474,17 @@ object Bench {
     // activity matching: spin exactly the cores the pair's LARGE side would
     // additionally use, so both sides run at the same package clock
     val pinnedPartner = math.min(partner + extra, avail)
+    // the unequalized clock term per side, on the record (ADVICE r4): the
+    // same ALU probe without the spinner, immediately before the spun
+    // measurement — its ratio to the spun probe is the turbo term removed
+    val unspun =
+      if (equalizeClock && pinnedPartner > pinned)
+        probeClock(s"0-${pinned - 1}", n, aluOnly = true)._1
+      else 0.0
     withSpin(pinned, pinnedPartner) {
       val alu = probeClock(s"0-${pinned - 1}", n)
       runChild(s"local[$n]", n, s"0-${pinned - 1}", inputDir, warmDir, runs, alu)
+        .copy(aluUnspun = unspun)
     }
   }
 
@@ -415,11 +532,18 @@ object Bench {
     val (inputDir, warmDir) = prepareInput(sfDir, repl)
 
     killStray()
-    def measureOnce(l: Int, runs: Int, partner: Int): LevelResult =
+    def measureOnce(l: Int, runs: Int, partner: Int): LevelResult = {
+      // crash safety: the tmpfs input is externally deletable mid-run
+      // (round 4's driver artifact died exactly this way) — cheap existence
+      // check + deterministic rebuild before every child launch
+      ensureInput(sfDir, repl)
       if (mode == "cluster") measureLevelCluster(l, inputDir, warmDir, runs)
       else measureLevelLocal(l, inputDir, warmDir, runs, partner)
+    }
     // one retry per measurement: a transient child failure (noisy-host OOM,
-    // port clash) must not zero the whole unattended record run
+    // port clash, vanished tmpfs input) must not zero the whole unattended
+    // record run — and the retry re-ensures the input rather than blindly
+    // re-reading the same missing path
     def measure(l: Int, runs: Int, partner: Int): LevelResult =
       try measureOnce(l, runs, partner) catch {
         case e: Throwable =>
@@ -496,10 +620,14 @@ object Bench {
     // the wall budget is hit); EVERY attempted pair and every
     // qualification input is emitted, qualified or not.
     val qualK = sys.env.getOrElse("SPARK_GRAFT_QUAL_PAIRS", "3").toInt
+    // round 5: 6 → 8 max pairs and 75 → 110 min budget — round 4's record
+    // run hit the budget with 1 of 3 target qualified pairs; the probe gate
+    // now spends dirty-window time in cheap sleeps, so a longer budget buys
+    // qualified pairs, not noise
     val maxPairs = math.max(runsPerLevel,
-      sys.env.getOrElse("SPARK_GRAFT_MAX_PAIRS", "6").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_MAX_PAIRS", "8").toInt)
     val pairBudgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_PAIR_BUDGET_MIN", "75").toDouble * 60
+      sys.env.getOrElse("SPARK_GRAFT_PAIR_BUDGET_MIN", "110").toDouble * 60
     val ctrlMin = sys.env.getOrElse("SPARK_GRAFT_QUAL_CTRL", "0.93").toDouble
     val Array(clockQLo, clockQHi) = sys.env
       .getOrElse("SPARK_GRAFT_QUAL_CLOCK", "0.92,1.35").split(',').map(_.toDouble)
@@ -528,7 +656,7 @@ object Bench {
     // (4) is relative to the run's own floors, so qualification is
     // re-evaluated over ALL pairs collected so far after each new pair (a
     // later, lower floor retroactively disqualifies an inflated earlier pair)
-    def qualFlags(ps: Seq[Pair]): Seq[Boolean] = {
+    def qualFlags(ps: Seq[Pair]): Seq[Boolean] = if (ps.isEmpty) Nil else {
       val floorLo = ps.map(_.lo.minSec).min
       val floorHi = ps.map(_.hi.minSec).min
       ps.map { p =>
@@ -554,6 +682,16 @@ object Bench {
     val probeSleepSec =
       sys.env.getOrElse("SPARK_GRAFT_PROBE_SLEEP_SEC", "45").toDouble
     val skippedProbes = scala.collection.mutable.ArrayBuffer[Double]()
+    // PARTIAL-RESULT GUARANTEE (round 5): nothing inside the measurement
+    // loops may abort main. Round 4's artifact of record was a stack trace
+    // because one vanished input `require`-failed through 42 minutes of
+    // collected measurements. Every pair/level attempt is individually
+    // caught: a failed attempt (after measure()'s own rebuild-and-retry) is
+    // counted and the loop moves on; whatever pairs/levels exist at the end
+    // are emitted with aborted_* markers.
+    var abortedPairs = 0
+    var abortedHiLevels = 0
+    val maxAborts = sys.env.getOrElse("SPARK_GRAFT_MAX_ABORTS", "4").toInt
     val (pairs, hiResults) = withMaster {
       val buf = scala.collection.mutable.ArrayBuffer[Pair]()
       var pairCostSum = 0.0
@@ -563,31 +701,48 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_EST_PAIR_SEC", "850").toDouble
       def estPairSec: Double =
         if (buf.nonEmpty) pairCostSum / buf.size else estPairSec0
-      while (buf.size < maxPairs &&
+      while (buf.size < maxPairs && abortedPairs < maxAborts &&
           (buf.size < runsPerLevel ||
             (qualFlags(buf.toSeq).count(identity) < qualK &&
               elapsedSec < pairBudgetSec))) {
-        val pre = controlBracket()
-        if (Bench.gateSkip(pre, ctrlMin, buf.size, runsPerLevel,
-            elapsedSec, pairBudgetSec, estPairSec)) {
-          skippedProbes += pre.get
-          System.err.println(f"[bench] probe ${skippedProbes.size} ctrl " +
-            f"${pre.get}%.3f < $ctrlMin — window dirty, pair skipped " +
-            f"(elapsed ${elapsedSec}%.0f s)")
-          Thread.sleep((probeSleepSec * 1000).toLong)
-        } else {
-          val tp = System.nanoTime()
-          buf += measurePair(pre)
-          pairCostSum += (System.nanoTime() - tp) / 1e9
-          System.err.println(f"[bench] pair ${buf.size} wall ${buf.last.wall}%.3f " +
-            f"ctrl ${buf.last.ctrl.getOrElse(-1.0)}%.3f clock ${buf.last.clock}%.3f " +
-            f"qualified ${qualFlags(buf.toSeq).count(identity)}/$qualK " +
-            f"elapsed ${elapsedSec}%.0f s")
+        try {
+          val pre = controlBracket()
+          if (Bench.gateSkip(pre, ctrlMin, buf.size, runsPerLevel,
+              elapsedSec, pairBudgetSec, estPairSec)) {
+            skippedProbes += pre.get
+            System.err.println(f"[bench] probe ${skippedProbes.size} ctrl " +
+              f"${pre.get}%.3f < $ctrlMin — window dirty, pair skipped " +
+              f"(elapsed ${elapsedSec}%.0f s)")
+            Thread.sleep((probeSleepSec * 1000).toLong)
+          } else {
+            val tp = System.nanoTime()
+            buf += measurePair(pre)
+            pairCostSum += (System.nanoTime() - tp) / 1e9
+            System.err.println(f"[bench] pair ${buf.size} wall ${buf.last.wall}%.3f " +
+              f"ctrl ${buf.last.ctrl.getOrElse(-1.0)}%.3f clock ${buf.last.clock}%.3f " +
+              f"qualified ${qualFlags(buf.toSeq).count(identity)}/$qualK " +
+              f"elapsed ${elapsedSec}%.0f s")
+          }
+        } catch {
+          case e: Throwable =>
+            abortedPairs += 1
+            System.err.println(s"[bench] pair attempt aborted ($abortedPairs/" +
+              s"$maxAborts): ${String.valueOf(e.getMessage).take(300)}")
+            killStray()
         }
       }
       // the hi pair (cpus/4 vs cpus) is activity-matched too: its small
       // side spins up to the large side's core count
-      val h = hiLevels.map(l => measure(l, runsPerLevel, partner = cpus))
+      val h = hiLevels.flatMap { l =>
+        try Some(measure(l, runsPerLevel, partner = cpus)) catch {
+          case e: Throwable =>
+            abortedHiLevels += 1
+            System.err.println(s"[bench] hi level $l aborted: " +
+              s"${String.valueOf(e.getMessage).take(300)}")
+            killStray()
+            None
+        }
+      }
       (buf.toSeq, h)
     }
     val quals = qualFlags(pairs)
@@ -598,9 +753,20 @@ object Bench {
 
     val allResults =
       pairs.flatMap(p => Seq(p.lo, p.hi)) ++ hiResults
-    require(allResults.map(_.triples).distinct.size == 1,
-      s"cluster size changed the result: ${allResults.map(r => r.cpus -> r.triples)}")
-    val n = allResults.head.triples
+    // degraded-run emission: every attempt failed (co-tenant chaos, full
+    // tmpfs, …) — emit a parseable artifact saying so instead of crashing
+    if (allResults.isEmpty) {
+      println(s"""{"metric":"BENCH DEGRADED: every measurement attempt failed after retries ($abortedPairs pair attempts, $abortedHiLevels hi levels) — no timing collected; see stderr log","value":0.0,"unit":"triples/sec","queries":{"aborted_pairs":$abortedPairs.0,"aborted_hi_levels":$abortedHiLevels.0,"qualified_pairs":0.0,"attempted_pairs":0.0},"sf":"$sfDir"}""")
+      return
+    }
+    // cluster size changing the result count is a correctness red flag —
+    // but an unattended record run must still emit its evidence: flag it
+    // in the JSON (triples_mismatch > 0) instead of require-aborting
+    val triplesMismatch = allResults.map(_.triples).distinct.size - 1
+    if (triplesMismatch > 0)
+      System.err.println("[bench] RESULT MISMATCH across levels: " +
+        allResults.map(r => r.cpus -> r.triples).toString)
+    val n = allResults.map(_.triples).max
 
     def medianOf(rs: Seq[LevelResult]): LevelResult = {
       val sorted = rs.sortBy(_.medianSec)
@@ -608,9 +774,11 @@ object Bench {
         minSec = rs.map(_.minSec).min, maxSec = rs.map(_.maxSec).max)
     }
     // the 1- and 4-core level summaries come from the HEADLINE (qualified)
-    // pairs — same set the efficiency median uses
-    val results = Seq(medianOf(headlinePairs.map(_.lo)),
-      medianOf(headlinePairs.map(_.hi))) ++ hiResults
+    // pairs — same set the efficiency median uses; with EVERY pair aborted
+    // (partial-run emission) only the hi levels are summarized
+    val results = (if (headlinePairs.nonEmpty)
+      Seq(medianOf(headlinePairs.map(_.lo)), medianOf(headlinePairs.map(_.hi)))
+    else Nil) ++ hiResults
     val byLevel = results.map(r => r.cpus -> r).toMap
 
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
@@ -618,9 +786,9 @@ object Bench {
     // Each side's time is the MIN over its pairSamples back-to-back runs
     // (co-tenant bursts only add time; the symmetric min estimates the
     // undisturbed time on both sides without biasing the ratio).
-    val effLow = med(headlinePairs.map(p => p.wall * p.clock))
-    val effLowWall = med(headlinePairs.map(_.wall))
-    val clockLow = med(headlinePairs.map(_.clock))
+    val effLow = if (headlinePairs.isEmpty) 0.0 else med(headlinePairs.map(p => p.wall * p.clock))
+    val effLowWall = if (headlinePairs.isEmpty) 0.0 else med(headlinePairs.map(_.wall))
+    val clockLow = if (headlinePairs.isEmpty) 1.0 else med(headlinePairs.map(_.clock))
     def effWall(lo: Int, hi: Int): Double =
       (byLevel(lo).medianSec / byLevel(hi).medianSec) / (hi.toDouble / lo)
     def effCycles(lo: Int, hi: Int): Double = {
@@ -668,13 +836,21 @@ object Bench {
         s"qual_pair$n" -> (if (quals(i)) 1.0 else 0.0)) ++
         p.ctrlPre.map(c => s"eff_wall_control_pre_pair$n" -> c) ++
         p.ctrlPost.map(c => s"eff_wall_control_post_pair$n" -> c) ++
-        p.ctrl.map(c => s"eff_wall_control_pair$n" -> c)
+        p.ctrl.map(c => s"eff_wall_control_pair$n" -> c) ++
+        // the equalization term itself as data (ADVICE r4): the small
+        // side's UNspun clock reading next to its spun one — their ratio
+        // to the large side is the turbo differential the spinner removed
+        (if (p.lo.aluUnspun > 0) Seq(
+          s"alu_unspun_pair${n}@1" -> p.lo.aluUnspun,
+          s"clock_unequalized_pair$n" ->
+            (if (p.hi.aluMops > 0) p.lo.aluUnspun / p.hi.aluMops else 0.0))
+        else Nil)
     }.toMap
     // clean-limit estimator: ratio of the GLOBAL minima across all pair
     // sides — on a bursty host the min over all windows converges to the
     // undisturbed time (bursts only add); emitted as evidence next to the
     // headline median, never in its place
-    val minWindow =
+    val minWindow = if (pairs.isEmpty) 0.0 else
       (pairs.map(_.lo.minSec).min / pairs.map(_.hi.minSec).min) / 4.0
     val ctrlEffs = pairs.flatMap(_.ctrl)
     val ctrlKeys =
@@ -689,7 +865,13 @@ object Bench {
         "clock_equalized" -> (if (equalizeClock) 1.0 else 0.0),
         "qualified_pairs" -> qualifiedPairs.size.toDouble,
         "attempted_pairs" -> pairs.size.toDouble,
-        "scaling_efficiency_all_pairs" -> med(pairs.map(_.wall))) ++
+        // crash-safety bookkeeping: attempts that failed even after the
+        // rebuild-and-retry, plus any cross-level result-count mismatch
+        "aborted_pairs" -> abortedPairs.toDouble,
+        "aborted_hi_levels" -> abortedHiLevels.toDouble,
+        "triples_mismatch" -> triplesMismatch.toDouble,
+        "scaling_efficiency_all_pairs" ->
+          (if (pairs.isEmpty) 0.0 else med(pairs.map(_.wall)))) ++
         // every gated-out probe on the record: a pre-bracket control that
         // read below qual_ctrl_min, so the 13-min dataflow pair was skipped
         Map("probe_skips" -> skippedProbes.size.toDouble) ++
@@ -707,7 +889,8 @@ object Bench {
       // per-thread memory-bandwidth ratio 1→4 (median of in-window pairs):
       // hardware evidence, not a correction — one socket, one L3/memory
       // controller is the resource a real N→4N cluster multiplies
-      "membw_ratio_1_4" -> med(headlinePairs.map(_.membw)),
+      "membw_ratio_1_4" ->
+        (if (headlinePairs.isEmpty) 0.0 else med(headlinePairs.map(_.membw))),
       "canonical_triples" -> n.toDouble,
       "runs_per_level" -> runsPerLevel.toDouble) ++
       effHighWall.map(e => "scaling_efficiency_hi" -> e).toMap ++
@@ -722,7 +905,17 @@ object Bench {
        else "1 vs 4 cores") +
         s"; headline = median of the QUALIFIED interleaved 1-core/4-core pairs (${qualifiedPairs.size} of ${pairs.size} attempted; pairs are collected until $qualK qualify or the budget runs out) where a pair qualifies mechanically iff its in-window pure-compute control (min of a PRE and a POST bracket) >= $ctrlMin AND clock-probe ratio in [$clockQLo,$clockQHi] AND membw-probe ratio in [$membwQLo,$membwQHi] AND both side minima within ${floorTol}x of the run's own per-side floors; every attempted pair + every qualification input emitted (eff_wall_pair*/clock_pair*/membw_pair*/eff_wall_control_{pre,post}_pair*/qual_pair*), median over ALL pairs emitted as scaling_efficiency_all_pairs; dirty windows are PRE-GATED (${skippedProbes.size} probe(s) skipped this run, each emitted as probe_skip_*): when the pre control bracket already reads < $ctrlMin the pair cannot qualify, so the budget is spent waiting for a clean window instead of measuring co-tenant noise, with a budget reserve forcing ungated fallback pairs if none appears" +
         (if (qualifiedPairs.isEmpty) "; NO pair qualified this run - scaling_efficiency falls back to the all-pairs median" else "") +
-        (if (equalizeClock) "; CLOCKS EQUALIZED BY ACTIVITY MATCHING (clock_equalized=1): the package clock falls with active-core count on this host (in-run ALU probes: 696 Mops/thread at 1 active core, 661 at 5, 329 at 32), so during each pair's SMALL side (and its probes and control brackets) a register-only ALU spinner — no L3/memory traffic — pins exactly the cores the LARGE side would additionally use, making both sides run at the same activity level and clock, as identical-clock N->4N cluster executors do; the small side's residual turbo advantage (~5% systematic) is removed from the wall ratio rather than normalized away, and the per-side ALU probes verify the matched clocks on the record" else "")
+        (if (equalizeClock) {
+          // THIS run's own probe readings, not historical constants (ADVICE
+          // r4): per-level spun ALU medians plus the unequalized small-side
+          // reading, so the removed turbo term is quantified in-artifact
+          val ladder = results.sortBy(_.cpus)
+            .map(r => f"${r.aluMops}%.0f@${r.cpus}").mkString(", ")
+          val unspun1 = headlinePairs.map(_.lo.aluUnspun).filter(_ > 0)
+          val unspunTxt = if (unspun1.isEmpty) ""
+            else f" vs ${med(unspun1)}%.0f unequalized at 1 active core (median; per-pair values emitted as alu_unspun_pair*@1 / clock_unequalized_pair*)"
+          s"; CLOCKS EQUALIZED BY ACTIVITY MATCHING (clock_equalized=1; cross-run comparisons must key on this flag — equalization lifts the small-side times ~5% vs pre-round-4 records under the same key names): the package clock falls with active-core count on this host (THIS run's in-run ALU probes, Mops/thread under matched activity: $ladder$unspunTxt), so during each pair's SMALL side (and its probes and control brackets) a register-only ALU spinner — no L3/memory traffic; the no-SMT-sibling assumption is asserted against the kernel topology at startup — pins exactly the cores the LARGE side would additionally use, making both sides run at the same activity level and clock, as identical-clock N->4N cluster executors do; the small side's residual turbo advantage is removed from the wall ratio rather than normalized away, and the per-side ALU probes verify the matched clocks on the record"
+        } else "")
     println(
       s"""{"metric":"end-to-end triples/sec (extract->link->canonicalize->materialize), $modeDesc, median-of-$runsPerLevel per level, scaling $pairDesc; scaling_efficiency is the MEASURED WALL ratio; the in-run per-core ALU clock probe's normalized value (clock ratio ${f"$clockLow%.2f"}x this run; a real N->4N cluster adds machines at identical clocks) is emitted separately as scaling_efficiency_cycle_norm; in-run probes emitted per level (alu=clock, mem=streaming bandwidth) plus an IN-WINDOW pure-compute Spark control pair (codegen range->xxhash64->bit_xor, same pinning; emitted as scaling_efficiency_compute_control / eff_wall_control_pair*) show where the single shared L3/memory system caps string-dataflow wall scaling on this one-socket box (BASELINE.md has the full measured diagnosis; the capped resource is per-node on a real cluster)","value":${f"$tpsTop%.2f"},"unit":"triples/sec","queries":$qs,"sf":"$sfDir"}""")
   }
@@ -992,7 +1185,10 @@ object AluProbe {
   def main(args: Array[String]): Unit = {
     val n = args(0).toInt
     println(f"ALU $n ${measure(n)}%.2f")
-    println(f"MEM $n ${measureMem(n)}%.2f")
+    // "alu" second arg: clock reading only (the unequalized-term probe
+    // Bench runs next to each spun sample) — skip the memory pass
+    if (!args.lift(1).contains("alu"))
+      println(f"MEM $n ${measureMem(n)}%.2f")
   }
 }
 
@@ -1022,11 +1218,21 @@ object BenchPrep {
   * pure registers, no allocation, no L3/memory traffic — so the spinner
   * cannot contend with the measured cores for anything except the package
   * power/clock budget, which is exactly the term being equalized. Runs
-  * until killed by the parent.
+  * until killed by the parent — or until its stdin pipe reaches EOF, which
+  * is parent-death detection: a hard-killed bench (kill -9, OOM-kill)
+  * never reaches destroyForcibly, and an orphaned spinner would burn the
+  * large side's cores at 100% and contaminate every subsequent run.
   */
 object Spinner {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(1)
+    val parentWatch = new Thread(() => {
+      try { while (System.in.read() != -1) () }
+      catch { case _: Throwable => () }
+      Runtime.getRuntime.halt(0) // parent gone: stop burning its cores
+    })
+    parentWatch.setDaemon(true)
+    parentWatch.start()
     val ts = (0 until n).map { t =>
       val th = new Thread(() => {
         var sink = 0L

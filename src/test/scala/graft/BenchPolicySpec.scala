@@ -54,4 +54,22 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(!Bench.gateSkip(Some(ctrlMin), ctrlMin, bufSize = 0, minPairs = 3,
       elapsedSec = 100, budgetSec = 4500, estPairSec = 850))
   }
+
+  // --- SMT-topology parsing for the clock-equalization no-sibling assert ---
+
+  test("parseCpuList handles singletons, ranges and comma lists") {
+    assert(Bench.parseCpuList("3") == Seq(3))
+    assert(Bench.parseCpuList("0-3") == Seq(0, 1, 2, 3))
+    assert(Bench.parseCpuList("0,16") == Seq(0, 16))
+    assert(Bench.parseCpuList("0-1,16-17") == Seq(0, 1, 16, 17))
+    assert(Bench.parseCpuList(" 5 \n") == Seq(5))
+    assert(Bench.parseCpuList("") == Nil)
+  }
+
+  test("this host reports no SMT siblings (the activity-matching spinner's " +
+      "no-port-contention claim is asserted, not assumed)") {
+    // on an SMT host equalizeClock self-disables; this box is 32 physical
+    // cores, so the assertion must hold here and the protocol stays active
+    assert(!Bench.smtSiblingsPresent)
+  }
 }
