@@ -504,7 +504,24 @@ object Bench {
     }
   }
 
+  /** EXTERNAL-TERMINATION GUARANTEE (round 5, completes the partial-result
+    * work): a record run can exceed an unattended harness's process timeout
+    * (the pair budget alone is 110 min), and a SIGTERM mid-run must not
+    * reduce 90 minutes of collected measurements to an empty artifact the
+    * way round 4's vanished-input crash did. After every measured pair the
+    * loop refreshes a compact snapshot JSON here; a shutdown hook prints it
+    * if (and only if) the full artifact was never emitted. kill -9 remains
+    * unrecoverable by design — everything softer now leaves evidence.
+    */
+  @volatile private var partialJson: Option[String] = None
+  @volatile private var finalEmitted = false
+
   def main(args: Array[String]): Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!finalEmitted) partialJson.foreach { j =>
+        println(j); System.out.flush()
+      }
+    }))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // input sized so the run measures the DATAFLOW, not the harness: at
@@ -722,6 +739,36 @@ object Bench {
               f"ctrl ${buf.last.ctrl.getOrElse(-1.0)}%.3f clock ${buf.last.clock}%.3f " +
               f"qualified ${qualFlags(buf.toSeq).count(identity)}/$qualK " +
               f"elapsed ${elapsedSec}%.0f s")
+            // refresh the external-termination snapshot (see partialJson)
+            locally {
+              val ps = buf.toSeq
+              val flags = qualFlags(ps)
+              val qualified = ps.zip(flags).collect { case (p, true) => p }
+              val head = if (qualified.nonEmpty) qualified else ps
+              val effs = head.map(_.wall).sorted
+              val kv = ps.zipWithIndex.flatMap { case (p, i) =>
+                Seq(s"eff_wall_pair${i + 1}" -> p.wall,
+                  s"clock_pair${i + 1}" -> p.clock,
+                  s"membw_pair${i + 1}" -> p.membw,
+                  s"qual_pair${i + 1}" -> (if (flags(i)) 1.0 else 0.0)) ++
+                  p.ctrl.map(c => s"eff_wall_control_pair${i + 1}" -> c)
+              } ++ Seq(
+                "scaling_efficiency" -> effs(effs.size / 2),
+                "scaling_efficiency_all_pairs" ->
+                  ps.map(_.wall).sorted.apply(ps.size / 2),
+                "qualified_pairs" -> qualified.size.toDouble,
+                "attempted_pairs" -> ps.size.toDouble,
+                "triples_per_sec@4" ->
+                  ps.map(p => p.hi.triples / p.hi.minSec).max,
+                "clock_equalized" -> (if (equalizeClock) 1.0 else 0.0),
+                "probe_skips" -> skippedProbes.size.toDouble,
+                "partial" -> 1.0)
+              val qjs = kv.map { case (k, v) =>
+                "\"" + k + "\":" + f"$v%.4f"
+              }.mkString("{", ",", "}")
+              partialJson = Some(
+                s"""{"metric":"PARTIAL bench artifact - the process was terminated externally (timeout/SIGTERM) before the run completed; emitted by the shutdown hook from the pairs measured so far, with the standard mechanical qualification flags (headline = median of qualified pairs, else all pairs); hi levels not reached","value":${f"${ps.map(p => p.hi.triples / p.hi.minSec).max}%.2f"},"unit":"triples/sec","queries":$qjs,"sf":"$sfDir"}""")
+            }
           }
         } catch {
           case e: Throwable =>
@@ -756,6 +803,7 @@ object Bench {
     // degraded-run emission: every attempt failed (co-tenant chaos, full
     // tmpfs, …) — emit a parseable artifact saying so instead of crashing
     if (allResults.isEmpty) {
+      finalEmitted = true
       println(s"""{"metric":"BENCH DEGRADED: every measurement attempt failed after retries ($abortedPairs pair attempts, $abortedHiLevels hi levels) — no timing collected; see stderr log","value":0.0,"unit":"triples/sec","queries":{"aborted_pairs":$abortedPairs.0,"aborted_hi_levels":$abortedHiLevels.0,"qualified_pairs":0.0,"attempted_pairs":0.0},"sf":"$sfDir"}""")
       return
     }
@@ -916,6 +964,7 @@ object Bench {
             else f" vs ${med(unspun1)}%.0f unequalized at 1 active core (median; per-pair values emitted as alu_unspun_pair*@1 / clock_unequalized_pair*)"
           s"; CLOCKS EQUALIZED BY ACTIVITY MATCHING (clock_equalized=1; cross-run comparisons must key on this flag — equalization lifts the small-side times ~5% vs pre-round-4 records under the same key names): the package clock falls with active-core count on this host (THIS run's in-run ALU probes, Mops/thread under matched activity: $ladder$unspunTxt), so during each pair's SMALL side (and its probes and control brackets) a register-only ALU spinner — no L3/memory traffic; the no-SMT-sibling assumption is asserted against the kernel topology at startup — pins exactly the cores the LARGE side would additionally use, making both sides run at the same activity level and clock, as identical-clock N->4N cluster executors do; the small side's residual turbo advantage is removed from the wall ratio rather than normalized away, and the per-side ALU probes verify the matched clocks on the record"
         } else "")
+    finalEmitted = true
     println(
       s"""{"metric":"end-to-end triples/sec (extract->link->canonicalize->materialize), $modeDesc, median-of-$runsPerLevel per level, scaling $pairDesc; scaling_efficiency is the MEASURED WALL ratio; the in-run per-core ALU clock probe's normalized value (clock ratio ${f"$clockLow%.2f"}x this run; a real N->4N cluster adds machines at identical clocks) is emitted separately as scaling_efficiency_cycle_norm; in-run probes emitted per level (alu=clock, mem=streaming bandwidth) plus an IN-WINDOW pure-compute Spark control pair (codegen range->xxhash64->bit_xor, same pinning; emitted as scaling_efficiency_compute_control / eff_wall_control_pair*) show where the single shared L3/memory system caps string-dataflow wall scaling on this one-socket box (BASELINE.md has the full measured diagnosis; the capped resource is per-node on a real cluster)","value":${f"$tpsTop%.2f"},"unit":"triples/sec","queries":$qs,"sf":"$sfDir"}""")
   }

@@ -327,6 +327,15 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Mass-preserving PageRank: dangling rank redistributed uniformly each
+    // iteration (same integer fixed-point contract — see
+    // GraphAnalytics.pageRank(preserveDanglingMass = true))
+    "kg_pagerank_preserved" -> ((s, dir) => {
+      GraphAnalytics.pageRank(graft.pipeline.Pipeline.build(s, turns(s, dir)).canonical, 10,
+          preserveDanglingMass = true)
+        .orderBy("node")
+    }),
+
     // ---- training-data operators (documents / embeddings tables) ----
 
     // Dedup: exact hash-groupBy duplicate groups
@@ -777,6 +786,11 @@ object SparkEntry {
       (OracleSql.tripleChain :+ OracleSql.canonicalCtes :+
         GraphSql.graphBaseCtes :+ GraphSql.pageRankCtes(10)): _*)(
       "SELECT node, rank_fp FROM pr10 ORDER BY node"),
+
+    "kg_pagerank_preserved" -> OracleSql.withCtes(
+      (OracleSql.tripleChain :+ OracleSql.canonicalCtes :+
+        GraphSql.graphBaseCtes :+ GraphSql.pageRankPreservedCtes(10)): _*)(
+      "SELECT node, rank_fp FROM prp10 ORDER BY node"),
 
     "kg_nodes" -> OracleSql.withCtes(
       (OracleSql.tripleChain :+ OracleSql.canonicalCtes): _*)(

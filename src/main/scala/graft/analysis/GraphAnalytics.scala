@@ -1,6 +1,6 @@
 package graft.analysis
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the materialized knowledge graph — the query
@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   *    via a self-equi-join on the zaak key. The join key is the zaak — a
   *    DIMENSION key — so the shuffle is bounded by the linked-edge set,
   *    not the corpus; hot-zaak skew at 100 TB is the same failure mode as
-  *    Dedup.capBuckets and takes the same frequency-cap fix (AQE skew
-  *    splitting covers the moderate case).
+  *    an uncapped LSH band and takes the same frequency-cap guard
+  *    (`maxZaakPersons`, dropped keys emitted as data; AQE skew splitting
+  *    covers the moderate case below the cap).
   *  - `twoHopReach` / `triangles`: neighborhood expansion over the
   *    dimension-bounded projection. Triangle enumeration uses the oriented
   *    (p1 < p2) edge list, so each triangle is emitted exactly once and
@@ -30,8 +31,12 @@ import org.apache.spark.sql.functions._
   *  - `pageRank`: fixed-point INTEGER PageRank (scale 1e12, damping
   *    85/100, uniform init) so the result is bit-identical across engines
   *    — float PageRank cannot sit inside a hash-equality gate. Dangling
-  *    mass is dropped (the common SQL variant), documented here; ranks
-  *    are therefore a centrality ORDER, not a probability distribution.
+  *    mass is dropped by default (the common SQL variant; ranks are then
+  *    a centrality ORDER, not a probability distribution);
+  *    `preserveDanglingMass = true` redistributes it uniformly each
+  *    iteration (the reference-grade read — rank sum stays ≈ S up to
+  *    integer-truncation drift, asserted in GraphAnalyticsSpec) at the
+  *    cost of one extra node-sized scalar aggregate per iteration.
   *    Each iteration is one co-partitioned join + one hash aggregate; the
   *    edge list is pre-partitioned by src once and the per-iteration plan
   *    is truncated (graft.util.Ckpt) so Catalyst never re-optimizes a
@@ -60,15 +65,49 @@ object GraphAnalytics {
       .withColumn("degree", col("out_deg") + col("in_deg"))
   }
 
+  /** Frequency cap on the co-discussion self-join key: a zaak discussed by
+    * f persons fans out to f·(f−1)/2 pairs, so one viral zaak at 100 TB
+    * (f ~ 10^5 speakers) alone emits ~5·10^9 pairs into ONE shuffle
+    * partition — the same quadratic hot-bucket failure as an uncapped LSH
+    * band, and it takes the same guard (Dedup.capBuckets): keys above the
+    * cap are DROPPED from the projection, and the drop is emitted as data
+    * (an `Observation`), never silent. 1024 persons/zaak ≈ 524k pairs per
+    * key — well inside one task — while real parliamentary zaken are
+    * discussed by at most a few hundred persons, so the default never
+    * engages on clean corpora (hash-verified: `kg_two_hop`/`kg_triangles`
+    * match the uncapped DuckDB oracle at sf0.01).
+    */
+  val DefaultMaxZaakPersons: Int = 1024
+
   /** Persoon–persoon co-discussion projection: an oriented (p1 < p2) edge
     * for each pair of persons that DISCUSSES the same zaak entity.
+    *
+    * @param maxZaakPersons hot-key guard (see [[DefaultMaxZaakPersons]])
+    * @param droppedObs optional observation riding the frequency frame;
+    *   reports `dropped_zaak_keys` (capped-away keys) and
+    *   `dropped_zaak_rows` (person–zaak rows they carried)
     */
-  def coDiscussion(triples: DataFrame): DataFrame = {
+  def coDiscussion(triples: DataFrame,
+      maxZaakPersons: Int = DefaultMaxZaakPersons,
+      droppedObs: Option[Observation] = None): DataFrame = {
     val d = triples
       .where(col("pred").isin("DISCUSSES_ZAAK", "DISCUSSES_DOSSIER"))
       .select(col("subj").as("p"), col("obj").as("z"))
       .distinct()
-    d.as("a").join(d.as("b"),
+    // per-key frequency BEFORE the self-join; the observe node sees every
+    // key (it sits above the aggregate, below the filter), so the dropped
+    // volume is counted exactly once per action
+    val freq0 = d.groupBy("z").agg(count(lit(1)).as("zf"))
+    val freq = droppedObs
+      .map(o => freq0.observe(o,
+        sum(when(col("zf") > maxZaakPersons, 1L).otherwise(0L))
+          .as("dropped_zaak_keys"),
+        sum(when(col("zf") > maxZaakPersons, col("zf")).otherwise(0L))
+          .as("dropped_zaak_rows")))
+      .getOrElse(freq0)
+    val capped = d.join(
+      freq.where(col("zf") <= maxZaakPersons).select("z"), Seq("z"), "left_semi")
+    capped.as("a").join(capped.as("b"),
         col("a.z") === col("b.z") && col("a.p") < col("b.p"))
       .select(col("a.p").as("p1"), col("b.p").as("p2"))
       .distinct()
@@ -115,13 +154,16 @@ object GraphAnalytics {
     *   n      = |nodes|, base = (S·15/100)/n, r0 = S/n   (integer div)
     *   share  = (rank·85) div (100·out_deg)              (per out-edge)
     *   rank'  = base + Σ shares over in-edges            (missing → 0)
+    *            [+ (Σ dangling rank · 85) div (100·n) when
+    *             preserveDanglingMass — GraphSql.pageRankPreservedCtes]
     *
     * Every division is BIGINT truncation toward zero on non-negative
     * operands, so Spark `div` ≡ DuckDB `//` and the hash gate holds.
     */
   val PageRankScale: Long = 1000000000000L
 
-  def pageRank(triples: DataFrame, iters: Int = 10): DataFrame = {
+  def pageRank(triples: DataFrame, iters: Int = 10,
+      preserveDanglingMass: Boolean = false): DataFrame = {
     val S = PageRankScale
     // edge list partitioned by src ONCE; every iteration's join reuses it
     // (ranks — node-sized, the small side — move to the edges, never the
@@ -142,12 +184,33 @@ object GraphAnalytics {
         .select(col("obj").as("node"),
           expr("(rank_fp * 85) div (100 * out_deg)").as("share"))
         .groupBy("node").agg(sum("share").as("contrib"))
+      val next =
+        if (!preserveDanglingMass)
+          nodes.join(contrib, Seq("node"), "left")
+            .select(col("node"),
+              (lit(base) + coalesce(col("contrib"), lit(0L))).as("rank_fp"))
+        else {
+          // mass-preserving variant: dangling nodes (no out-edges) would
+          // leak 85% of their rank each round in the drop variant — here
+          // their summed mass is redistributed uniformly,
+          // (dang·85) div (100·n) per node. One extra node-sized scalar
+          // aggregate per iteration (over the CACHED previous ranks — a
+          // one-row frame broadcast back via crossJoin, never a collect),
+          // integer-exact at the same truncation points as the DuckDB
+          // mirror (GraphSql.pageRankPreservedCtes), so it sits inside the
+          // hash gate like the default.
+          val dang = ranks
+            .join(out.select(col("subj").as("node")), Seq("node"), "left_anti")
+            .agg(coalesce(sum("rank_fp"), lit(0L)).as("dang_fp"))
+          nodes.join(contrib, Seq("node"), "left")
+            .crossJoin(broadcast(dang))
+            .select(col("node"),
+              (lit(base) + coalesce(col("contrib"), lit(0L)) +
+                expr(s"(dang_fp * 85) div (100 * ${n}L)")).as("rank_fp"))
+        }
       // plan truncation per round — without it Catalyst re-optimizes a
       // tree that doubles per iteration (see ConnectedComponents)
-      ranks = graft.util.Ckpt(
-        nodes.join(contrib, Seq("node"), "left")
-          .select(col("node"),
-            (lit(base) + coalesce(col("contrib"), lit(0L))).as("rank_fp")))
+      ranks = graft.util.Ckpt(next)
     }
     ranks
   }

@@ -87,6 +87,13 @@ object Link {
       carry: Seq[String]): DataFrame =
     linkPersons(mentions, persons, carry, None)
 
+  /** Hard ceiling on `residual_rows × dictionary_rows` comparisons the
+    * contains-fallback nested-loop tier may attempt (10^10 ≈ a few minutes
+    * of one executor's `contains` throughput — past it the tier is the
+    * wrong algorithm, not a slow path).
+    */
+  val DefaultMaxFallbackComparisons: Long = 10000000000L
+
   /** As above with an optional [[org.apache.spark.sql.Observation]] that
     * rides the fallback branch and reports `fallback_residual_rows` — the
     * number of mentions with NO exact surname-block hit. That residual is
@@ -94,15 +101,22 @@ object Link {
     * |dictionary| comparisons): fine while residuals stay the expected
     * trickle, INVISIBLE until slow on a dirty corpus where most surnames
     * miss the block. The counter makes the volume an emitted metric per
-    * run. If `residual × dim_rows` grows past ~10^10 comparisons, switch
-    * the tier to a salted equi-join on dictionary-side token n-grams
-    * (explode the dictionary's surname substrings of the residual token
-    * lengths — turns `contains` into an equi-join at ×substring-count dim
-    * blow-up) rather than letting the NLJ quadratically absorb the corpus.
+    * run. If `residual × dim_rows` grows past `maxFallbackComparisons`
+    * (default 10^10), the job FAILS LOUDLY before the NLJ runs — an
+    * in-plan guard (`assert_true` over a one-row broadcast of the two
+    * counts, filtering the residual side, so Catalyst cannot prune it and
+    * the first residual task kills the job) — rather than quadratically
+    * absorbing a dirty corpus. The escape hatch for a corpus that is
+    * legitimately over the cap: switch the tier to a salted equi-join on
+    * dictionary-side token n-grams (explode the dictionary's surname
+    * substrings of the residual token lengths — turns `contains` into an
+    * equi-join at ×substring-count dim blow-up), or raise the cap
+    * explicitly.
     */
   def linkPersons(mentions: DataFrame, persons: DataFrame,
       carry: Seq[String],
-      residualObs: Option[org.apache.spark.sql.Observation]): DataFrame = {
+      residualObs: Option[org.apache.spark.sql.Observation],
+      maxFallbackComparisons: Long = DefaultMaxFallbackComparisons): DataFrame = {
     val blocks = broadcast(personBlocks(persons))
 
     // Tier 1: exact surname block join (reference api_extractor.py:148-155).
@@ -119,10 +133,31 @@ object Link {
     val noExact = residualObs
       .map(o => noExact0.observe(o, count(lit(1)).as("fallback_residual_rows")))
       .getOrElse(noExact0)
-    val fallback = noExact
+    val fbDict = personBlocks(persons).drop("block_key").distinct()
+    // in-plan volume guard (see Scaladoc): a one-row
+    // (residual_rows × dim_rows) frame broadcast onto every residual row;
+    // assert_true sits inside the FILTER predicate (`isNull` is true when
+    // the assertion passes) so Catalyst cannot prune it away, and an
+    // over-cap volume throws in the first residual task — BEFORE the
+    // contains-NLJ below absorbs the corpus. Both counts rescan frames
+    // that are tiny (dict) or typically checkpointed (mentions).
+    val volume = noExact0.groupBy().agg(count(lit(1)).as("residual_rows"))
+      .crossJoin(fbDict.groupBy().agg(count(lit(1)).as("dim_rows")))
+    val guarded = noExact
+      .crossJoin(broadcast(volume))
+      .where(assert_true(
+        col("residual_rows") * col("dim_rows") <= lit(maxFallbackComparisons),
+        format_string(
+          "graft.link contains-fallback volume: %s residual mentions x %s " +
+            "dictionary rows exceeds maxFallbackComparisons=%s — dirty " +
+            "corpus would run quadratically; switch this tier to the salted " +
+            "n-gram equi-join (Link.linkPersons Scaladoc) or raise the cap",
+          col("residual_rows"), col("dim_rows"),
+          lit(maxFallbackComparisons))).isNull)
+      .drop("residual_rows", "dim_rows")
+    val fallback = guarded
       .withColumn("lt", lastToken)
-      .join(broadcast(personBlocks(persons).drop("block_key").distinct()),
-        col("bare").contains(col("lt")))
+      .join(broadcast(fbDict), col("bare").contains(col("lt")))
       .drop("lt")
 
     val cols = Seq("conv_id", "turn_idx", "v_first", "v_last") ++ carry ++

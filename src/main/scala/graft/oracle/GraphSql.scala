@@ -107,4 +107,40 @@ object GraphSql {
     }
     (pr0 +: steps).mkString(",\n")
   }
+
+  /** Mass-preserving PageRank unroll (mirrors
+    * GraphAnalytics.pageRank(…, preserveDanglingMass = true)): each
+    * iteration adds the uniformly-redistributed dangling mass,
+    * `(Σ rank of no-out-edge nodes · 85) // (100 · n)` — BIGINT truncation
+    * at exactly the Spark `div` points, so the variant sits inside the
+    * hash gate like the default. Ends in `prp<iters>`.
+    */
+  def pageRankPreservedCtes(iters: Int): String = {
+    val s = graft.analysis.GraphAnalytics.PageRankScale
+    val pr0 =
+      s"""gn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM gnodes),
+         |prp0 AS MATERIALIZED (SELECT node, (SELECT $s // n FROM gn) AS rank_fp FROM gnodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""prp$i AS MATERIALIZED (
+         |  SELECT g.node,
+         |         (SELECT ($s * 15 // 100) // n FROM gn)
+         |           + COALESCE(c.contrib, 0)
+         |           -- CAST: DuckDB SUM(BIGINT) is HUGEINT and would promote
+         |           -- the whole rank to a pandas float — same reason the
+         |           -- contrib sum below is cast
+         |           + (SELECT CAST((COALESCE(SUM(p.rank_fp), 0) * 85)
+         |                        // (100 * (SELECT n FROM gn)) AS BIGINT)
+         |              FROM prp${i - 1} p
+         |              LEFT JOIN gout o ON o.subj = p.node
+         |              WHERE o.subj IS NULL) AS rank_fp
+         |  FROM gnodes g
+         |  LEFT JOIN (SELECT e.obj AS node,
+         |                    CAST(SUM(p.rank_fp * 85 // (100 * o.out_deg)) AS BIGINT) AS contrib
+         |             FROM gedges e
+         |             JOIN prp${i - 1} p ON p.node = e.subj
+         |             JOIN gout o ON o.subj = e.subj
+         |             GROUP BY e.obj) c ON c.node = g.node)""".stripMargin
+    }
+    (pr0 +: steps).mkString(",\n")
+  }
 }

@@ -114,6 +114,27 @@ class ExtractLinkSpec extends SparkSpec {
     assert(linked.length == 1 && linked.head.getAs[String]("persoon_id") == "P8")
   }
 
+  test("contains-fallback volume cap: over-threshold residual fails loudly, default cap passes") {
+    // 'Qqqzzz' misses every exact surname block -> 1 residual mention;
+    // dictionary has 4 rows -> 1 x 4 = 4 comparisons > cap 2 must THROW
+    // before the contains-NLJ runs (a dirty corpus degrades loudly, not
+    // quadratically)
+    val t = turnsDf(("c1", 0, "Mevrouw Qqqzzz spreekt over dossier 36001 nr. 2"))
+    val mentions = Extract.speakerMentions(t)
+    val ex = intercept[Exception] {
+      Link.linkPersons(mentions, dict, Nil, None,
+        maxFallbackComparisons = 2L).collect()
+    }
+    def messages(e: Throwable): List[String] =
+      if (e == null) Nil
+      else String.valueOf(e.getMessage) :: messages(e.getCause)
+    assert(messages(ex).exists(_.contains("maxFallbackComparisons")),
+      s"expected the volume-cap message, got: ${messages(ex)}")
+    // same corpus under the default cap: the guard stays silent (the
+    // residual simply scores below MinSpeakerScore and drops)
+    assert(Link.linkPersons(mentions, dict).collect().isEmpty)
+  }
+
   test("case mention extraction: dossier+stuk and dossier-toevoeging forms") {
     val t = turnsDf(
       ("c1", 0, "Mevrouw Jansen spreekt over dossier 36001 nr. 2"),

@@ -41,6 +41,25 @@ class GraphAnalyticsSpec extends SparkSpec {
       ("persoon:P2", "persoon:P3")))
   }
 
+  test("coDiscussion: hot-zaak frequency cap drops the key, reported as data") {
+    // zaak:HOT is discussed by 4 persons (> cap 3) — its C(4,2)=6 pairs
+    // must NOT reach the self-join; zaak:OK (2 persons) stays
+    val rows =
+      (1 to 4).map(i => (s"persoon:H$i", "DISCUSSES_ZAAK", "zaak:HOT")) ++
+        Seq(("persoon:A", "DISCUSSES_ZAAK", "zaak:OK"),
+          ("persoon:B", "DISCUSSES_ZAAK", "zaak:OK"))
+    val t = triples(rows: _*)
+    val obs = new org.apache.spark.sql.Observation("codisc_cap")
+    val got = GraphAnalytics
+      .coDiscussion(t, maxZaakPersons = 3, droppedObs = Some(obs))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("persoon:A", "persoon:B")))
+    assert(obs.get("dropped_zaak_keys") == 1L)
+    assert(obs.get("dropped_zaak_rows") == 4L)
+    // the default cap (1024) never engages on this corpus: all pairs emitted
+    assert(GraphAnalytics.coDiscussion(t).count() == 6L + 1L)
+  }
+
   test("twoHopReach: path graph P1-P2-P3 (via zaken) counts 1- and 2-hop") {
     // co-discussion edges: P1-P2 (Z1), P2-P3 (Z2)  => path graph
     val t = triples(
@@ -101,6 +120,37 @@ class GraphAnalyticsSpec extends SparkSpec {
     val share = (r0 * 85) / (100 * 1)
     assert(star("a") == base + 3 * share)
     assert(star("b") == base && star("c") == base && star("d") == base)
+  }
+
+  test("pageRank preserveDanglingMass: exact one-iteration arithmetic and rank-sum conservation") {
+    val s = GraphAnalytics.PageRankScale
+    // a -> b, a -> c: b and c are DANGLING (no out-edges). The default
+    // variant leaks 85% of their rank every iteration; the preserving
+    // variant redistributes it uniformly.
+    val t = triples(("a", "P", "b"), ("a", "P", "c"))
+
+    // one iteration, every truncation by hand:
+    val n = 3L
+    val r0 = s / n
+    val base = (s * 15 / 100) / n
+    val dangShare = ((2 * r0) * 85) / (100 * n) // b+c dangling at iter 1
+    val aShare = (r0 * 85) / (100 * 2) // a's out_deg = 2
+    val one = GraphAnalytics.pageRank(t, 1, preserveDanglingMass = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one("a") == base + dangShare)
+    assert(one("b") == base + aShare + dangShare)
+    assert(one("c") == one("b"))
+
+    // 10 iterations: the preserved rank sum stays at S up to integer
+    // truncation drift (a handful of units per division site per
+    // iteration), while the dropping variant has leaked most of the mass
+    val pres = GraphAnalytics.pageRank(t, 10, preserveDanglingMass = true)
+      .collect().map(_.getLong(1)).sum
+    val drop = GraphAnalytics.pageRank(t, 10)
+      .collect().map(_.getLong(1)).sum
+    assert(pres <= s)
+    assert(s - pres < 1000L, s"rank sum drifted: $pres vs $s")
+    assert(drop < pres * 9 / 10, s"drop variant should leak mass: $drop vs $pres")
   }
 
   test("pageRank: sink ranks above sources and total mass bounded by S") {
