@@ -342,7 +342,27 @@ object Bench {
       memMlongs: Double,
       // small sides only, when equalization is active: the same ALU probe
       // run WITHOUT the spinner, so the removed turbo term is on the record
-      aluUnspun: Double = 0.0)
+      aluUnspun: Double = 0.0,
+      // the child stopped sampling early because a measured run exceeded
+      // the burst-abort threshold (see abortThreshold) — the side is
+      // burst-inflated and further samples would only burn budget
+      abortedSlow: Boolean = false)
+
+  /** BURST-ABORT threshold (round 5), pure for unit testing: once the run
+    * has its own per-side floors (i.e. the minimum forced fallback pairs
+    * exist — the guard is DISABLED before that, so the all-pairs fallback
+    * set can never be starved), a measured run that exceeds `mult` × the
+    * side's floor is inside a co-tenant burst that floor-tol qualification
+    * would disqualify anyway — this run's window measured identical code at
+    * 336 s and 74.9 s forty minutes apart. Completing the side's remaining
+    * samples (and the partner side) would burn 20-35 min of pair budget
+    * measuring noise, so the child stops sampling after the offending run
+    * and the parent skips the rest of the pair. 0 = disabled.
+    */
+  private[graft] def abortThreshold(floors: Seq[Double], mult: Double,
+      haveMinPairs: Boolean): Double =
+    if (!haveMinPairs || floors.isEmpty || mult <= 0) 0.0
+    else floors.min * mult
 
   /** Per-level clock probe in a DEDICATED child JVM pinned to the level's
     * WORKER cores (`pin`), n concurrent chains. Running the probe inside the
@@ -422,9 +442,14 @@ object Bench {
     out.linesIterator.filter(_.startsWith("CTRL ")).map(_.trim.split("\\s+")(2).toDouble).min
   }
 
-  /** Run one level's child driver process; parse its RUN lines. */
+  /** Run one level's child driver process; parse its RUN lines. `abortSec`
+    * (0 = off) is forwarded to the child, which stops sampling after any
+    * measured run slower than it (burst-abort, see [[abortThreshold]]) —
+    * the child then prints `ABORTSLOW` and the partial RUN set is accepted.
+    */
   private def runChild(masterUrl: String, n: Int, driverPin: String,
-      inputDir: String, warmDir: String, runs: Int, probe: (Double, Double)): LevelResult = {
+      inputDir: String, warmDir: String, runs: Int, probe: (Double, Double),
+      abortSec: Double = 0.0): LevelResult = {
     val errFile = java.io.File.createTempFile(s"bench-child-$n-", ".log")
     val extraOpts = sys.env.get("SPARK_GRAFT_CHILD_OPTS")
       .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
@@ -434,7 +459,8 @@ object Bench {
         s"-XX:ActiveProcessorCount=${n + 1}",
         "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC", "-cp", classpath,
-        "graft.BenchChild", masterUrl, n.toString, inputDir, warmDir, runs.toString)
+        "graft.BenchChild", masterUrl, n.toString, inputDir, warmDir,
+        runs.toString, f"$abortSec%.3f")
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectError(errFile) // a pipe would deadlock on Spark's stderr logging
     val proc = pb.start()
@@ -452,13 +478,16 @@ object Bench {
         "total_sec" -> f(2).toDouble, "extract_link_cc_sec" -> f(3).toDouble,
         "graph_write_sec" -> f(4).toDouble))
     }.toSeq
-    require(parsed.size == runs, s"expected $runs RUN lines, got:\n$out")
+    val abortedSlow = out.linesIterator.exists(_.startsWith("ABORTSLOW"))
+    require(parsed.size == runs || (abortedSlow && parsed.nonEmpty),
+      s"expected $runs RUN lines, got:\n$out")
     val ns = parsed.map(_._1).distinct
     require(ns.size == 1, s"non-deterministic result at $n cores: $ns")
     val sorted = parsed.sortBy(_._2("total_sec"))
     val med = sorted(sorted.size / 2)
     LevelResult(n, ns.head, med._2("total_sec"),
-      sorted.head._2("total_sec"), sorted.last._2("total_sec"), med._2, probe._1, probe._2)
+      sorted.head._2("total_sec"), sorted.last._2("total_sec"), med._2,
+      probe._1, probe._2, abortedSlow = abortedSlow)
   }
 
   /** Local mode: child pinned to n worker cores + 1 driver core (on a real
@@ -467,7 +496,7 @@ object Bench {
     * an artifact no cluster has).
     */
   private def measureLevelLocal(n: Int, inputDir: String, warmDir: String,
-      runs: Int, partner: Int): LevelResult = {
+      runs: Int, partner: Int, abortSec: Double = 0.0): LevelResult = {
     val extra = sys.env.getOrElse("SPARK_GRAFT_DRIVER_CORE", "1").toInt
     val avail = Runtime.getRuntime.availableProcessors()
     val pinned = math.min(n + extra, avail)
@@ -483,7 +512,8 @@ object Bench {
       else 0.0
     withSpin(pinned, pinnedPartner) {
       val alu = probeClock(s"0-${pinned - 1}", n)
-      runChild(s"local[$n]", n, s"0-${pinned - 1}", inputDir, warmDir, runs, alu)
+      runChild(s"local[$n]", n, s"0-${pinned - 1}", inputDir, warmDir, runs,
+        alu, abortSec)
         .copy(aluUnspun = unspun)
     }
   }
@@ -549,25 +579,27 @@ object Bench {
     val (inputDir, warmDir) = prepareInput(sfDir, repl)
 
     killStray()
-    def measureOnce(l: Int, runs: Int, partner: Int): LevelResult = {
+    def measureOnce(l: Int, runs: Int, partner: Int,
+        abortSec: Double = 0.0): LevelResult = {
       // crash safety: the tmpfs input is externally deletable mid-run
       // (round 4's driver artifact died exactly this way) — cheap existence
       // check + deterministic rebuild before every child launch
       ensureInput(sfDir, repl)
       if (mode == "cluster") measureLevelCluster(l, inputDir, warmDir, runs)
-      else measureLevelLocal(l, inputDir, warmDir, runs, partner)
+      else measureLevelLocal(l, inputDir, warmDir, runs, partner, abortSec)
     }
     // one retry per measurement: a transient child failure (noisy-host OOM,
     // port clash, vanished tmpfs input) must not zero the whole unattended
     // record run — and the retry re-ensures the input rather than blindly
     // re-reading the same missing path
-    def measure(l: Int, runs: Int, partner: Int): LevelResult =
-      try measureOnce(l, runs, partner) catch {
+    def measure(l: Int, runs: Int, partner: Int,
+        abortSec: Double = 0.0): LevelResult =
+      try measureOnce(l, runs, partner, abortSec) catch {
         case e: Throwable =>
           System.err.println(
             s"[bench] level $l failed (${String.valueOf(e.getMessage).take(300)}); retrying once")
           killStray()
-          measureOnce(l, runs, partner)
+          measureOnce(l, runs, partner, abortSec)
       }
     def withMaster[T](f: => T): T =
       if (mode == "cluster") {
@@ -610,10 +642,13 @@ object Bench {
     // co-tenant burst outlasted the sample window — take ONE extra sample
     // so the min has a chance to land outside the burst (run i measured
     // whole 4-core sides inflated ~1.9× with both samples inside one burst)
-    def measureSide(l: Int, k: Int, partner: Int): LevelResult = {
-      val r = measure(l, k, partner)
-      if (k > 1 && r.maxSec / r.minSec > 1.3) {
-        val extra = measure(l, 1, partner)
+    def measureSide(l: Int, k: Int, partner: Int,
+        abortSec: Double = 0.0): LevelResult = {
+      val r = measure(l, k, partner, abortSec)
+      // no extra sample for a burst-ABORTED side: it is already known-dirty
+      // and the pair is about to be skipped — extra samples only burn budget
+      if (!r.abortedSlow && k > 1 && r.maxSec / r.minSec > 1.3) {
+        val extra = measure(l, 1, partner, abortSec)
         r.copy(minSec = math.min(r.minSec, extra.minSec),
           maxSec = math.max(r.maxSec, extra.maxSec))
       } else r
@@ -664,11 +699,24 @@ object Bench {
         Some((runControl(1, ctrlRuns, partner = 4) /
           runControl(4, ctrlRuns, partner = 4)) / 4.0)
       else None
-    def measurePair(pre: Option[Double]): Pair = {
-      val a = measureSide(1, pairSamples, partner = 4)
-      val b = measureSide(4, pairSamples, partner = 4)
-      val post = controlBracket()
-      Pair(a, b, pre, post)
+    // BURST-ABORT (round 5, see abortThreshold): when the 1-core side's min
+    // exceeds its threshold the window is inside a burst that floor-tol
+    // would disqualify — skip the 4-core side and the post bracket entirely
+    // (None). A burst on the 4-core side alone still records the pair: both
+    // sides are already measured and qualification handles it.
+    val abortX = sys.env.getOrElse("SPARK_GRAFT_RUN_ABORT_X", "3.0").toDouble
+    def measurePair(pre: Option[Double], loAbort: Double,
+        hiAbort: Double): Option[Pair] = {
+      val a = measureSide(1, pairSamples, partner = 4, loAbort)
+      if (loAbort > 0 && a.minSec > loAbort) {
+        System.err.println(f"[bench] burst-abort: 1-core min ${a.minSec}%.1f s " +
+          f"> ${loAbort}%.1f s (${abortX}x run floor) — rest of pair skipped")
+        None
+      } else {
+        val b = measureSide(4, pairSamples, partner = 4, hiAbort)
+        val post = controlBracket()
+        Some(Pair(a, b, pre, post))
+      }
     }
     // (4) is relative to the run's own floors, so qualification is
     // re-evaluated over ALL pairs collected so far after each new pair (a
@@ -708,6 +756,9 @@ object Bench {
     // are emitted with aborted_* markers.
     var abortedPairs = 0
     var abortedHiLevels = 0
+    // pairs cut short by the burst-abort guard (1-core side over threshold);
+    // bounded by the pair budget — each one consumed >= threshold seconds
+    var burstAborts = 0
     val maxAborts = sys.env.getOrElse("SPARK_GRAFT_MAX_ABORTS", "4").toInt
     val (pairs, hiResults) = withMaster {
       val buf = scala.collection.mutable.ArrayBuffer[Pair]()
@@ -733,7 +784,14 @@ object Bench {
             Thread.sleep((probeSleepSec * 1000).toLong)
           } else {
             val tp = System.nanoTime()
-            buf += measurePair(pre)
+            val haveMin = buf.size >= runsPerLevel
+            val loAbort = abortThreshold(buf.map(_.lo.minSec).toSeq, abortX, haveMin)
+            val hiAbort = abortThreshold(buf.map(_.hi.minSec).toSeq, abortX, haveMin)
+            measurePair(pre, loAbort, hiAbort) match {
+              case None =>
+                burstAborts += 1
+              case Some(p) =>
+            buf += p
             pairCostSum += (System.nanoTime() - tp) / 1e9
             System.err.println(f"[bench] pair ${buf.size} wall ${buf.last.wall}%.3f " +
               f"ctrl ${buf.last.ctrl.getOrElse(-1.0)}%.3f clock ${buf.last.clock}%.3f " +
@@ -768,6 +826,7 @@ object Bench {
               }.mkString("{", ",", "}")
               partialJson = Some(
                 s"""{"metric":"PARTIAL bench artifact - the process was terminated externally (timeout/SIGTERM) before the run completed; emitted by the shutdown hook from the pairs measured so far, with the standard mechanical qualification flags (headline = median of qualified pairs, else all pairs); hi levels not reached","value":${f"${ps.map(p => p.hi.triples / p.hi.minSec).max}%.2f"},"unit":"triples/sec","queries":$qjs,"sf":"$sfDir"}""")
+            }
             }
           }
         } catch {
@@ -917,6 +976,11 @@ object Bench {
         // rebuild-and-retry, plus any cross-level result-count mismatch
         "aborted_pairs" -> abortedPairs.toDouble,
         "aborted_hi_levels" -> abortedHiLevels.toDouble,
+        // pairs cut short by the burst-abort guard (threshold = the emitted
+        // burst_abort_x multiple of the run's own per-side floor; active
+        // only once the minimum fallback pairs exist)
+        "burst_aborts" -> burstAborts.toDouble,
+        "burst_abort_x" -> abortX,
         "triples_mismatch" -> triplesMismatch.toDouble,
         "scaling_efficiency_all_pairs" ->
           (if (pairs.isEmpty) 0.0 else med(pairs.map(_.wall)))) ++
@@ -953,6 +1017,7 @@ object Bench {
        else "1 vs 4 cores") +
         s"; headline = median of the QUALIFIED interleaved 1-core/4-core pairs (${qualifiedPairs.size} of ${pairs.size} attempted; pairs are collected until $qualK qualify or the budget runs out) where a pair qualifies mechanically iff its in-window pure-compute control (min of a PRE and a POST bracket) >= $ctrlMin AND clock-probe ratio in [$clockQLo,$clockQHi] AND membw-probe ratio in [$membwQLo,$membwQHi] AND both side minima within ${floorTol}x of the run's own per-side floors; every attempted pair + every qualification input emitted (eff_wall_pair*/clock_pair*/membw_pair*/eff_wall_control_{pre,post}_pair*/qual_pair*), median over ALL pairs emitted as scaling_efficiency_all_pairs; dirty windows are PRE-GATED (${skippedProbes.size} probe(s) skipped this run, each emitted as probe_skip_*): when the pre control bracket already reads < $ctrlMin the pair cannot qualify, so the budget is spent waiting for a clean window instead of measuring co-tenant noise, with a budget reserve forcing ungated fallback pairs if none appears" +
         (if (qualifiedPairs.isEmpty) "; NO pair qualified this run - scaling_efficiency falls back to the all-pairs median" else "") +
+        (if (burstAborts > 0) s"; $burstAborts pair(s) burst-ABORTED mid-measurement (1-core side exceeded ${abortX}x the run's own floor - a window floor-tol would disqualify; sampling stopped early to save budget, emitted as burst_aborts)" else "") +
         (if (equalizeClock) {
           // THIS run's own probe readings, not historical constants (ADVICE
           // r4): per-level spun ALU medians plus the unequalized small-side
@@ -1082,9 +1147,15 @@ object BenchChild {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(masterUrl, nS, inputDir, warmDir, runsS) = args
+    val (masterUrl, nS, inputDir, warmDir, runsS) =
+      (args(0), args(1), args(2), args(3), args(4))
     val n = nS.toInt
     val runs = runsS.toInt
+    // burst-abort threshold from the parent (0/absent = off): a measured
+    // run slower than this is inside a co-tenant burst the parent's
+    // qualification would reject — stop sampling, print ABORTSLOW, let the
+    // parent skip the rest of the pair (see Bench.abortThreshold)
+    val abortSec = args.lift(5).map(_.toDouble).getOrElse(0.0)
     def freshSession(): SparkSession = {
       // a stopped default session otherwise poisons the next getOrCreate
       SparkSession.clearActiveSession()
@@ -1097,16 +1168,23 @@ object BenchChild {
       val w = freshSession()
       try { awaitExecutors(w, n); run(w, warmDir) } finally w.stop()
     }
+    var aborted = false
     (1 to runs).foreach { _ =>
-      // settle the heap: the previous session's garbage otherwise lands as
-      // GC pauses inside the measured run
-      System.gc(); Thread.sleep(1500); System.gc()
-      val s = freshSession()
-      try {
-        awaitExecutors(s, n)
-        val (cnt, total, b, wr) = run(s, inputDir)
-        println(f"RUN $cnt $total%.4f $b%.4f $wr%.4f")
-      } finally s.stop()
+      if (!aborted) {
+        // settle the heap: the previous session's garbage otherwise lands as
+        // GC pauses inside the measured run
+        System.gc(); Thread.sleep(1500); System.gc()
+        val s = freshSession()
+        try {
+          awaitExecutors(s, n)
+          val (cnt, total, b, wr) = run(s, inputDir)
+          println(f"RUN $cnt $total%.4f $b%.4f $wr%.4f")
+          if (abortSec > 0 && total > abortSec) {
+            println(f"ABORTSLOW $total%.4f > $abortSec%.4f")
+            aborted = true
+          }
+        } finally s.stop()
+      }
     }
   }
 }

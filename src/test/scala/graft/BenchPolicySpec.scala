@@ -72,4 +72,25 @@ class BenchPolicySpec extends AnyFunSuite {
     // cores, so the assertion must hold here and the protocol stays active
     assert(!Bench.smtSiblingsPresent)
   }
+
+  // --- burst-abort threshold (round 5): identical code measured 336 s and
+  // 74.9 s forty minutes apart on this host — a side over mult × floor is
+  // inside a burst that floor-tol would disqualify, so sampling it further
+  // only burns pair budget ---
+
+  test("burst-abort disabled until the minimum fallback pairs exist") {
+    assert(Bench.abortThreshold(Seq(70.0, 80.0), mult = 3.0,
+      haveMinPairs = false) == 0.0)
+  }
+
+  test("burst-abort threshold is mult x the run's own floor") {
+    assert(Bench.abortThreshold(Seq(80.0, 70.0, 75.0), mult = 3.0,
+      haveMinPairs = true) == 210.0)
+  }
+
+  test("burst-abort disabled with no floors or non-positive multiplier") {
+    assert(Bench.abortThreshold(Nil, mult = 3.0, haveMinPairs = true) == 0.0)
+    assert(Bench.abortThreshold(Seq(70.0), mult = 0.0,
+      haveMinPairs = true) == 0.0)
+  }
 }
