@@ -681,8 +681,18 @@ object Bench {
     val pairBudgetSec =
       sys.env.getOrElse("SPARK_GRAFT_PAIR_BUDGET_MIN", "110").toDouble * 60
     val ctrlMin = sys.env.getOrElse("SPARK_GRAFT_QUAL_CTRL", "0.93").toDouble
+    // clock window re-derived for the equalized protocol (ADVICE r4): the
+    // [0.92, 1.35] band was calibrated on UNequalized runs, where the small
+    // side's single-core turbo legitimately reads ~1.1-1.2x. With activity
+    // matching the systematic term is REMOVED — a truly matched pair reads
+    // ~1.0 — so a wide band only admits contaminated pairs (an r05 window
+    // measured an equalized pair at clock 1.31: the 4-core side ran
+    // clock-suppressed by a co-tenant and its wall ratio 0.51 would have
+    // DEFINED the qualified headline). Equalized default: [0.95, 1.15].
     val Array(clockQLo, clockQHi) = sys.env
-      .getOrElse("SPARK_GRAFT_QUAL_CLOCK", "0.92,1.35").split(',').map(_.toDouble)
+      .getOrElse("SPARK_GRAFT_QUAL_CLOCK",
+        if (equalizeClock) "0.95,1.15" else "0.92,1.35")
+      .split(',').map(_.toDouble)
     val Array(membwQLo, membwQHi) = sys.env
       .getOrElse("SPARK_GRAFT_QUAL_MEMBW", "0.80,1.30").split(',').map(_.toDouble)
     val floorTol = sys.env.getOrElse("SPARK_GRAFT_QUAL_FLOOR_TOL", "1.12").toDouble
