@@ -418,6 +418,126 @@ object Bench {
     !mustRun && preCtrl.exists(_ < ctrlMin)
   }
 
+  // --- Cross-run pair ledger (round 5) -----------------------------------
+  //
+  // Clean measurement windows on this co-tenanted host are scarce: a full
+  // 110-minute run frequently ends with 0-1 qualified pairs even though the
+  // probe gate spends dirty time in cheap sleeps. The ledger persists every
+  // COMPLETED scaling pair (with all of its qualification inputs) to an
+  // append-only JSONL file, so qualified pairs ACCUMULATE across record
+  // runs and the final artifact's headline can be the median of >= K
+  // qualified pairs gathered over several windows instead of whatever one
+  // window happened to yield.
+  //
+  // Soundness rules (all mechanical, no hand-picking):
+  //   * protocol identity — a history pair is admitted only if its
+  //     measured-path version stamp, exact canonical-triple count (a strong
+  //     input+code fingerprint), clock-equalization flag, per-side sample
+  //     count and cpu budget all equal the current run's;
+  //   * thresholds at READ time — control/clock/membw windows are applied
+  //     from the CURRENT run's thresholds, so a re-derived window (e.g. the
+  //     equalized clock band) re-reads history under the new rule;
+  //   * floors PER ORIGINATING RUN — a uniformly-suppressed window still
+  //     yields an unbiased wall RATIO (both sides slow equally; the ratio
+  //     gates are built on exactly this premise), so absolute floors are
+  //     only comparable within one run: each history pair is floor-checked
+  //     against the min sides of ITS OWN run's pairs, never a global
+  //     all-time floor (which would reject valid slow-window pairs), and
+  //     single-pair runs are excluded because they are their own floor.
+
+  /** Measured-dataflow version stamp persisted with every ledger pair.
+    * MUST be bumped on any change to the measured code path (anything the
+    * timed child executes: pipeline, link, canonicalize, materialize,
+    * input generation/replication) — sampling-policy-only changes to Bench
+    * keep it. Exact canonical-triple equality is the second guard.
+    */
+  private[graft] val MeasuredPathVersion = "r05.1"
+
+  /** One completed scaling pair as persisted in the ledger. `ctrl` is the
+    * min of the present brackets (same reading qualification uses).
+    */
+  private[graft] case class LedgerPair(run: String, ts: Long, source: String,
+      proto: String, clockEq: Boolean, pairSamples: Int, cpus: Int,
+      triples: Long, loMin: Double, hiMin: Double, clock: Double,
+      membw: Double, ctrlPre: Option[Double], ctrlPost: Option[Double]) {
+    def wall: Double = (loMin / hiMin) / 4.0
+    def ctrl: Option[Double] = (ctrlPre.toSeq ++ ctrlPost.toSeq).minOption
+  }
+
+  private[graft] def ledgerLine(p: LedgerPair): String = {
+    val opt = Seq(
+      p.ctrlPre.map(v => f""""ctrl_pre":$v%.4f"""),
+      p.ctrlPost.map(v => f""""ctrl_post":$v%.4f""")).flatten
+    (Seq(
+      s""""run":"${p.run}"""",
+      s""""ts":${p.ts}""",
+      s""""source":"${p.source}"""",
+      s""""proto":"${p.proto}"""",
+      s""""clock_eq":${if (p.clockEq) 1 else 0}""",
+      s""""pair_samples":${p.pairSamples}""",
+      s""""cpus":${p.cpus}""",
+      s""""triples":${p.triples}""",
+      f""""lo_min":${p.loMin}%.4f""",
+      f""""hi_min":${p.hiMin}%.4f""",
+      f""""clock":${p.clock}%.4f""",
+      f""""membw":${p.membw}%.4f""") ++ opt).mkString("{", ",", "}")
+  }
+
+  private def numField(s: String, k: String): Option[Double] =
+    ("\"" + k + "\":(-?[0-9.eE+]+)").r.findFirstMatchIn(s).map(_.group(1).toDouble)
+  private def strField(s: String, k: String): Option[String] =
+    ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(s).map(_.group(1))
+
+  /** Parses one ledger JSONL line; None on any missing required field (a
+    * malformed line is skipped, never fatal — the ledger is advisory).
+    */
+  private[graft] def parseLedgerLine(s: String): Option[LedgerPair] =
+    for {
+      run <- strField(s, "run")
+      ts <- numField(s, "ts")
+      proto <- strField(s, "proto")
+      clockEq <- numField(s, "clock_eq")
+      pairSamples <- numField(s, "pair_samples")
+      cpus <- numField(s, "cpus")
+      triples <- numField(s, "triples")
+      loMin <- numField(s, "lo_min")
+      hiMin <- numField(s, "hi_min") if hiMin > 0
+      clock <- numField(s, "clock")
+      membw <- numField(s, "membw")
+    } yield LedgerPair(run, ts.toLong, strField(s, "source").getOrElse(""),
+      proto, clockEq != 0, pairSamples.toInt, cpus.toInt, triples.toLong,
+      loMin, hiMin, clock, membw,
+      numField(s, "ctrl_pre"), numField(s, "ctrl_post"))
+
+  /** Protocol-identity filter for history pairs (see soundness rules). */
+  private[graft] def ledgerMatches(p: LedgerPair, proto: String,
+      clockEq: Boolean, pairSamples: Int, cpus: Int, triples: Long,
+      excludeRun: String): Boolean =
+    p.proto == proto && p.clockEq == clockEq &&
+      p.pairSamples == pairSamples && p.cpus == cpus &&
+      p.triples == triples && p.run != excludeRun
+
+  /** Re-qualifies history pairs under the CURRENT thresholds with floors
+    * computed per originating run; runs with fewer than `minGroup` pairs
+    * are excluded (a lone pair is trivially within its own floor). Pure —
+    * unit-tested in BenchPolicySpec.
+    */
+  private[graft] def ledgerQualified(history: Seq[LedgerPair],
+      ctrlMin: Double, clockLo: Double, clockHi: Double, membwLo: Double,
+      membwHi: Double, floorTol: Double, minGroup: Int = 2): Seq[LedgerPair] =
+    history.groupBy(_.run).valuesIterator.filter(_.size >= minGroup)
+      .flatMap { g =>
+        val floorLo = g.map(_.loMin).min
+        val floorHi = g.map(_.hiMin).min
+        g.filter { p =>
+          p.ctrl.forall(_ >= ctrlMin) &&
+            p.clock >= clockLo && p.clock <= clockHi &&
+            p.membw >= membwLo && p.membw <= membwHi &&
+            p.loMin <= floorLo * floorTol &&
+            p.hiMin <= floorHi * floorTol
+        }
+      }.toSeq.sortBy(_.ts)
+
   private[graft] def runControl(n: Int, runs: Int, partner: Int): Double = {
     val extra = sys.env.getOrElse("SPARK_GRAFT_DRIVER_CORE", "1").toInt
     val avail = Runtime.getRuntime.availableProcessors()
@@ -638,6 +758,25 @@ object Bench {
     // bracket ratio is noisy enough that min(pre, post) under-reads even
     // clean windows, which would starve qualification.
     val ctrlRuns = sys.env.getOrElse("SPARK_GRAFT_CTRL_RUNS", "2").toInt
+    // cross-run pair ledger (see the soundness rules at ledgerQualified):
+    // every completed pair is appended; at summary time protocol-identical
+    // pairs from EARLIER runs are re-qualified under this run's thresholds
+    // and merged into the qualified set. SPARK_GRAFT_LEDGER=0 disables.
+    val ledgerEnabled = !sys.env.get("SPARK_GRAFT_LEDGER").contains("0")
+    val ledgerPath = java.nio.file.Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_PAIR_LEDGER", "/root/repo/bench-runs/pair_ledger.jsonl"))
+    val runId = s"run-${System.currentTimeMillis()}"
+    def appendLedger(lp: LedgerPair): Unit = if (ledgerEnabled) try {
+      val parent = ledgerPath.getParent
+      if (parent != null) java.nio.file.Files.createDirectories(parent)
+      java.nio.file.Files.write(ledgerPath,
+        (ledgerLine(lp) + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] ledger append failed (non-fatal): $e")
+    }
     // burst detection: when a side's own k samples spread > 1.3×, a
     // co-tenant burst outlasted the sample window — take ONE extra sample
     // so the min has a chance to land outside the burst (run i measured
@@ -803,6 +942,10 @@ object Bench {
               case Some(p) =>
             buf += p
             pairCostSum += (System.nanoTime() - tp) / 1e9
+            appendLedger(LedgerPair(runId, System.currentTimeMillis(),
+              "live", MeasuredPathVersion, equalizeClock, pairSamples, cpus,
+              p.hi.triples, p.lo.minSec, p.hi.minSec, p.clock, p.membw,
+              p.ctrlPre, p.ctrlPost))
             System.err.println(f"[bench] pair ${buf.size} wall ${buf.last.wall}%.3f " +
               f"ctrl ${buf.last.ctrl.getOrElse(-1.0)}%.3f clock ${buf.last.clock}%.3f " +
               f"qualified ${qualFlags(buf.toSeq).count(identity)}/$qualK " +
@@ -884,6 +1027,27 @@ object Bench {
       System.err.println("[bench] RESULT MISMATCH across levels: " +
         allResults.map(r => r.cpus -> r.triples).toString)
     val n = allResults.map(_.triples).max
+
+    // ledger merge: protocol-identical pairs from EARLIER runs, re-qualified
+    // under THIS run's thresholds against their own runs' floors
+    val (ledgerLoaded, ledgerQual) =
+      if (!ledgerEnabled || !java.nio.file.Files.exists(ledgerPath)) (Nil, Nil)
+      else try {
+        import scala.jdk.CollectionConverters._
+        val hist = java.nio.file.Files.readAllLines(ledgerPath).asScala.toSeq
+          .flatMap(parseLedgerLine)
+          .filter(ledgerMatches(_, MeasuredPathVersion, equalizeClock,
+            pairSamples, cpus, n, excludeRun = runId))
+        (hist, ledgerQualified(hist, ctrlMin, clockQLo, clockQHi,
+          membwQLo, membwQHi, floorTol))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ledger read failed (non-fatal): $e")
+          (Nil, Nil)
+      }
+    // the union headline: in-run qualified pairs + history-qualified pairs;
+    // empty union -> the existing all-pairs fallback median
+    val unionWalls = qualifiedPairs.map(_.wall) ++ ledgerQual.map(_.wall)
 
     def medianOf(rs: Seq[LevelResult]): LevelResult = {
       val sorted = rs.sortBy(_.medianSec)
@@ -982,6 +1146,7 @@ object Bench {
         "clock_equalized" -> (if (equalizeClock) 1.0 else 0.0),
         "qualified_pairs" -> qualifiedPairs.size.toDouble,
         "attempted_pairs" -> pairs.size.toDouble,
+        "pair_samples" -> pairSamples.toDouble,
         // crash-safety bookkeeping: attempts that failed even after the
         // rebuild-and-retry, plus any cross-level result-count mismatch
         "aborted_pairs" -> abortedPairs.toDouble,
@@ -1003,8 +1168,31 @@ object Bench {
     // The PLAIN scaling_efficiency key is the measured WALL ratio (ADVICE
     // r2: a consumer reading the key alone must see the measured number);
     // the clock-probe-normalized value is emitted under an explicit name.
-    val qs = (perLevel ++ pairKeys ++ ctrlKeys ++ Map(
-      "scaling_efficiency" -> effLowWall,
+    // With the cross-run ledger it is the median over the UNION of
+    // qualified pairs (in-run + protocol-identical history); the in-run
+    // value stays on the record as scaling_efficiency_in_run and every
+    // merged history pair is emitted individually.
+    val effHeadline = if (unionWalls.nonEmpty) med(unionWalls) else effLowWall
+    val ledgerKeys = Map(
+      "ledger_pairs_loaded" -> ledgerLoaded.size.toDouble,
+      "ledger_pairs_qualified" -> ledgerQual.size.toDouble,
+      "qualified_pairs_union" -> unionWalls.size.toDouble,
+      "scaling_efficiency_in_run" -> effLowWall,
+      "headline_from_ledger" ->
+        (if (ledgerQual.nonEmpty && unionWalls.nonEmpty) 1.0 else 0.0)) ++
+      (if (ledgerQual.nonEmpty)
+        Map("ledger_span_hours" ->
+          ((System.currentTimeMillis() - ledgerQual.map(_.ts).min) / 3.6e6))
+      else Map.empty[String, Double]) ++
+      ledgerQual.take(16).zipWithIndex.flatMap { case (p, i) =>
+        val k = i + 1
+        Seq(s"ledger_qpair${k}_wall" -> p.wall,
+          s"ledger_qpair${k}_clock" -> p.clock,
+          s"ledger_qpair${k}_membw" -> p.membw) ++
+          p.ctrl.map(c => s"ledger_qpair${k}_control" -> c)
+      }.toMap
+    val qs = (perLevel ++ pairKeys ++ ctrlKeys ++ ledgerKeys ++ Map(
+      "scaling_efficiency" -> effHeadline,
       "scaling_efficiency_min_window" -> minWindow,
       "scaling_efficiency_cycle_norm" -> effLow,
       "clock_ratio_1_4" -> clockLow,
@@ -1026,7 +1214,8 @@ object Bench {
       (if (cpus >= 8) s"1 vs 4 cores (headline) and ${cpus / 4} vs $cpus (scaling_efficiency_hi; one shared memory bus/LLC)"
        else "1 vs 4 cores") +
         s"; headline = median of the QUALIFIED interleaved 1-core/4-core pairs (${qualifiedPairs.size} of ${pairs.size} attempted; pairs are collected until $qualK qualify or the budget runs out) where a pair qualifies mechanically iff its in-window pure-compute control (min of a PRE and a POST bracket) >= $ctrlMin AND clock-probe ratio in [$clockQLo,$clockQHi] AND membw-probe ratio in [$membwQLo,$membwQHi] AND both side minima within ${floorTol}x of the run's own per-side floors; every attempted pair + every qualification input emitted (eff_wall_pair*/clock_pair*/membw_pair*/eff_wall_control_{pre,post}_pair*/qual_pair*), median over ALL pairs emitted as scaling_efficiency_all_pairs; dirty windows are PRE-GATED (${skippedProbes.size} probe(s) skipped this run, each emitted as probe_skip_*): when the pre control bracket already reads < $ctrlMin the pair cannot qualify, so the budget is spent waiting for a clean window instead of measuring co-tenant noise, with a budget reserve forcing ungated fallback pairs if none appears" +
-        (if (qualifiedPairs.isEmpty) "; NO pair qualified this run - scaling_efficiency falls back to the all-pairs median" else "") +
+        (if (qualifiedPairs.isEmpty && unionWalls.isEmpty) "; NO pair qualified this run or in the ledger - scaling_efficiency falls back to the all-pairs median" else "") +
+        (if (ledgerQual.nonEmpty) s"; CROSS-RUN PAIR LEDGER: ${ledgerQual.size} protocol-identical pair(s) from earlier record runs on this exact input+code (matched mechanically on measured-path version, exact canonical-triple count, equalization flag, per-side sample count and cpu budget; each re-qualified under THIS run's thresholds against its OWN run's floors - absolute floors are only comparable within one run, a uniformly slow window still yields an unbiased wall RATIO) merged into the qualified set, so the headline is the median over the union of ${unionWalls.size} qualified pair(s) accumulated across windows (VERDICT r4 item 2); the in-run-only reading stays on the record as scaling_efficiency_in_run and every merged pair is emitted as ledger_qpair*_wall/clock/membw/control" else "") +
         (if (burstAborts > 0) s"; $burstAborts pair(s) burst-ABORTED mid-measurement (1-core side exceeded ${abortX}x the run's own floor - a window floor-tol would disqualify; sampling stopped early to save budget, emitted as burst_aborts)" else "") +
         (if (equalizeClock) {
           // THIS run's own probe readings, not historical constants (ADVICE

@@ -93,4 +93,107 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(Bench.abortThreshold(Seq(70.0), mult = 0.0,
       haveMinPairs = true) == 0.0)
   }
+
+  // --- cross-run pair ledger (round 5, VERDICT r4 item 2): qualified pairs
+  // accumulate across record runs; history is re-qualified under the
+  // CURRENT thresholds with floors computed PER ORIGINATING RUN ---
+
+  private def lp(run: String, lo: Double, hi: Double, clock: Double = 1.0,
+      membw: Double = 1.0, ctrlPre: Option[Double] = Some(0.96),
+      ctrlPost: Option[Double] = Some(0.96), ts: Long = 1L,
+      proto: String = Bench.MeasuredPathVersion, clockEq: Boolean = true,
+      pairSamples: Int = 2, cpus: Int = 32, triples: Long = 17108704L) =
+    Bench.LedgerPair(run, ts, "test", proto, clockEq, pairSamples, cpus,
+      triples, lo, hi, clock, membw, ctrlPre, ctrlPost)
+
+  private def qual(ps: Seq[Bench.LedgerPair]) =
+    Bench.ledgerQualified(ps, ctrlMin = 0.93, clockLo = 0.95, clockHi = 1.15,
+      membwLo = 0.80, membwHi = 1.30, floorTol = 1.12)
+
+  test("ledger line round-trips through the parser") {
+    val p = lp("run-1", 321.5, 99.25, clock = 1.05, membw = 0.95, ts = 42L)
+    val parsed = Bench.parseLedgerLine(Bench.ledgerLine(p))
+    assert(parsed.contains(p.copy(loMin = 321.5, hiMin = 99.25)))
+    assert(math.abs(parsed.get.wall - (321.5 / 99.25) / 4.0) < 1e-9)
+  }
+
+  test("ledger line without control brackets round-trips (ctrl = None " +
+      "never gates, same as in-run qualification)") {
+    val p = lp("run-1", 300.0, 90.0, ctrlPre = None, ctrlPost = None)
+    val parsed = Bench.parseLedgerLine(Bench.ledgerLine(p))
+    assert(parsed.contains(p))
+    assert(parsed.get.ctrl.isEmpty)
+    assert(qual(Seq(p, lp("run-1", 305.0, 92.0, ctrlPre = None,
+      ctrlPost = None))).size == 2)
+  }
+
+  test("malformed or incomplete ledger lines are skipped, never fatal") {
+    assert(Bench.parseLedgerLine("not json").isEmpty)
+    assert(Bench.parseLedgerLine("""{"run":"x","ts":1}""").isEmpty)
+    assert(Bench.parseLedgerLine("").isEmpty)
+  }
+
+  test("protocol identity: version, triples, equalization flag, samples, " +
+      "cpus must all match and the current run is excluded") {
+    val ok = lp("run-1", 300, 90)
+    def m(p: Bench.LedgerPair, excl: String = "run-9") =
+      Bench.ledgerMatches(p, Bench.MeasuredPathVersion, clockEq = true,
+        pairSamples = 2, cpus = 32, triples = 17108704L, excludeRun = excl)
+    assert(m(ok))
+    assert(!m(ok.copy(proto = "r04.9")))
+    assert(!m(ok.copy(triples = 17108705L)))
+    assert(!m(ok.copy(clockEq = false)))
+    assert(!m(ok.copy(pairSamples = 3)))
+    assert(!m(ok.copy(cpus = 16)))
+    assert(!m(ok, excl = "run-1")) // this run's own live pairs: in-run set
+  }
+
+  test("floors are per originating run: a slow-window run's clean pairs " +
+      "qualify against their OWN floor, not another run's faster floor") {
+    // run A measured in a uniformly suppressed window (both sides ~2x
+    // slower than run B) — its wall RATIO is still unbiased and both its
+    // pairs sit on their own floor; a global floor would reject them all
+    val a1 = lp("run-A", 430.0, 130.0)
+    val a2 = lp("run-A", 433.0, 131.0)
+    val b1 = lp("run-B", 200.0, 62.0)
+    val b2 = lp("run-B", 205.0, 63.0)
+    assert(qual(Seq(a1, a2, b1, b2)).toSet == Set(a1, a2, b1, b2))
+  }
+
+  test("within a run the floor tolerance still disqualifies the inflated " +
+      "pair (the r05_c pair-2 case: lo 433 s vs run floor 322 s)") {
+    val inflated = lp("run-C", 433.0, 122.7, clock = 1.13, membw = 0.90)
+    val floor = lp("run-C", 322.0, 134.3, clock = 1.27) // sets the lo floor
+    val qs = qual(Seq(inflated, floor))
+    assert(!qs.contains(inflated)) // 433 > 322 x 1.12
+    assert(!qs.contains(floor)) // clock 1.27 outside [0.95, 1.15]
+  }
+
+  test("single-pair runs are excluded: a lone pair is trivially within " +
+      "its own floor") {
+    assert(qual(Seq(lp("run-solo", 300.0, 90.0))).isEmpty)
+  }
+
+  test("current thresholds apply to history: a pair qualified under the " +
+      "old wide clock band re-reads unqualified under [0.95, 1.15]") {
+    val drifted = lp("run-D", 190.0, 92.0, clock = 1.31)
+    val clean = lp("run-D", 192.0, 91.0, clock = 1.02)
+    assert(qual(Seq(drifted, clean)) == Seq(clean))
+  }
+
+  test("control, membw and floor gates all engage on history pairs") {
+    val base = lp("run-E", 200.0, 62.0)
+    val dirtyCtrl = lp("run-E", 201.0, 62.5, ctrlPost = Some(0.90))
+    val dirtyBw = lp("run-E", 202.0, 62.6, membw = 1.68)
+    val hiInflated = lp("run-E", 203.0, 62.0 * 1.13)
+    assert(qual(Seq(base, dirtyCtrl, dirtyBw, hiInflated)) == Seq(base))
+  }
+
+  test("qualified history pairs come back in timestamp order") {
+    val p1 = lp("run-F", 200.0, 62.0, ts = 100L)
+    val p2 = lp("run-G", 210.0, 64.0, ts = 50L)
+    val p3 = lp("run-F", 201.0, 62.5, ts = 60L)
+    val p4 = lp("run-G", 212.0, 64.5, ts = 70L)
+    assert(qual(Seq(p1, p2, p3, p4)).map(_.ts) == Seq(50L, 60L, 70L, 100L))
+  }
 }
