@@ -230,6 +230,50 @@ object Bench {
     ()
   }
 
+  /** Pids of OTHER live `graft.Bench`/`graft.BenchChild` JVMs — never our
+    * own pid, our descendants, or our ANCESTORS (an `sbt "runMain
+    * graft.Bench"` launcher carries the class name on ITS command line;
+    * killing it would kill this very run), and never non-JVM processes (a
+    * harness shell whose command TEXT merely mentions the class must
+    * survive — only a process whose executable is `java` can be a stray
+    * bench). A record run left over from an earlier session (nohup
+    * survives its launcher) contends for every core and would contaminate
+    * this run's ENTIRE window, so an artifact-of-record launch takes
+    * priority and clears them at startup. Pure selection, unit-tested in
+    * BenchPolicySpec; the process sweep is below.
+    */
+  private[graft] def strayBenchPids(exclude: Set[Long],
+      procs: Seq[(Long, String, String)]): Seq[Long] =
+    procs.collect {
+      case (pid, exe, cmd) if !exclude.contains(pid) &&
+        (exe == "java" || exe.endsWith("/java")) &&
+        cmd.contains("graft.Bench") => pid
+    }
+
+  private def killOtherBenches(): Unit = {
+    import scala.jdk.CollectionConverters._
+    // a deliberately concurrent smoke (e.g. contract validation at sf0.001
+    // while a record run is collecting pairs) opts out with =0
+    if (sys.env.get("SPARK_GRAFT_KILL_STRAY_BENCH").contains("0")) return
+    val cur = ProcessHandle.current()
+    val desc = cur.descendants().iterator().asScala.map(_.pid()).toSet
+    val ancestors = Iterator.iterate(Option(cur))(
+        _.flatMap(h => Option(h.parent().orElse(null))))
+      .takeWhile(_.isDefined).take(32).flatten.map(_.pid()).toSet
+    val procs = ProcessHandle.allProcesses().iterator().asScala
+      .map(h => (h.pid(), h.info().command().orElse(""),
+        h.info().commandLine().orElse(""))).toSeq
+    val stray = strayBenchPids(desc + cur.pid() ++ ancestors, procs)
+    if (stray.nonEmpty) {
+      System.err.println(
+        s"[bench] killing stray bench JVM(s) from an earlier session: " +
+          stray.mkString(","))
+      stray.foreach(p =>
+        ProcessHandle.of(p).ifPresent { h => h.destroyForcibly(); () })
+      Thread.sleep(1000) // let the cores drain before any measurement
+    }
+  }
+
   private implicit class Cmd(cmd: Seq[String]) {
     def ! : Int = { val p = new ProcessBuilder(cmd: _*).start(); p.waitFor() }
   }
@@ -674,6 +718,9 @@ object Bench {
     }))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // a leftover record run from an earlier session would sit on every
+    // core for its full budget — clear it before anything is measured
+    killOtherBenches()
     // input sized so the run measures the DATAFLOW, not the harness: at
     // 96× (≈9.7 M turns → 12.8 M triples) the fixed per-run costs (job
     // scheduling, AQE stage setup, commit, plan time — ~6 s/run) amortize

@@ -196,4 +196,26 @@ class BenchPolicySpec extends AnyFunSuite {
     val p4 = lp("run-G", 212.0, 64.5, ts = 70L)
     assert(qual(Seq(p1, p2, p3, p4)).map(_.ts) == Seq(50L, 60L, 70L, 100L))
   }
+
+  test("stray-bench sweep selects other Bench/BenchChild JVMs, never " +
+      "itself, its own children/ancestors, non-JVM shells, or unrelated " +
+      "processes") {
+    val J = "/usr/lib/jvm/java-17/bin/java"
+    val procs = Seq(
+      (50L, J, s"$J -Dsbt.script=... runMain graft.Bench"), // own sbt ancestor
+      (100L, J, s"$J -Xmx8g -cp ... graft.Bench"),          // self
+      (101L, J, s"$J -cp ... graft.BenchChild local[4] 4"), // own child
+      (200L, J, s"$J -Xmx8g -cp ... graft.Bench"),          // stray parent
+      (201L, J, s"$J -cp ... graft.BenchChild local[1] 1"), // stray child
+      (202L, "java", "java -cp ... graft.Bench"),           // stray, bare exe
+      (300L, J, s"$J -cp ... graft.Verify /root/testdata"), // unrelated JVM
+      (301L, "", ""),                                       // unreadable
+      // a harness/session SHELL whose command TEXT mentions the class —
+      // must never be killed (it is not a JVM)
+      (302L, "/usr/bin/bash",
+        "bash -c nohup java -cp ... graft.Bench > /tmp/x.out"),
+      (303L, "/usr/bin/bash", "bash -c sleep 60"))
+    assert(Bench.strayBenchPids(Set(50L, 100L, 101L), procs) ==
+      Seq(200L, 201L, 202L))
+  }
 }
