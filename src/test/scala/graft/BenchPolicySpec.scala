@@ -197,6 +197,66 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(qual(Seq(p1, p2, p3, p4)).map(_.ts) == Seq(50L, 60L, 70L, 100L))
   }
 
+  // --- true even-count median (round 6, VERDICT r5 item 2) ---
+
+  test("median of an even-count set averages the two middle elements " +
+      "(the r5 driver artifact read the UPPER middle: 0.8135 vs 0.795)") {
+    assert(math.abs(Bench.median(Seq(0.7759, 0.8135)) - 0.7947) < 1e-9)
+    assert(Bench.median(Seq(4.0, 1.0, 3.0, 2.0)) == 2.5)
+  }
+
+  test("median of an odd-count set is the middle element; empty is 0") {
+    assert(Bench.median(Seq(0.9, 0.7, 0.8)) == 0.8)
+    assert(Bench.median(Seq(0.42)) == 0.42)
+    assert(Bench.median(Nil) == 0.0)
+  }
+
+  test("ledger numbers format locale-independently (ROOT decimal point)") {
+    assert(Bench.d4(321.6166) == "321.6166")
+    // no comma-decimal token anywhere (field separators are quote-adjacent)
+    assert("[0-9],[0-9]".r.findFirstIn(
+      Bench.ledgerLine(lp("run-1", 321.6166, 99.25))).isEmpty)
+  }
+
+  // --- snapshot/final shared ledger union (round 6, VERDICT r5 item 3) ---
+
+  test("ledgerUnion re-reads a seeded ledger file: protocol-identical " +
+      "qualified history pairs merge; malformed and bad-numeric lines are " +
+      "skipped per-line, never nulling the whole history") {
+    val f = java.nio.file.Files.createTempFile("graft-ledger-spec", ".jsonl")
+    try {
+      val good1 = lp("run-H", 300.0, 90.0, ts = 10L)
+      val good2 = lp("run-H", 303.0, 91.0, ts = 20L)
+      val otherProto = lp("run-I", 300.0, 90.0, proto = "r00.0")
+      val lines = Seq(
+        Bench.ledgerLine(good1),
+        "not json at all",
+        """{"run":"run-X","ts":5,"proto":"r05.1","clock_eq":1,"pair_samples":2,"cpus":32,"triples":17108704,"lo_min":+,"hi_min":90.0,"clock":1.0,"membw":1.0}""",
+        Bench.ledgerLine(good2),
+        Bench.ledgerLine(otherProto))
+      java.nio.file.Files.write(f, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      val (loaded, qual) = Bench.ledgerUnion(f, enabled = true,
+        Bench.MeasuredPathVersion, clockEq = true, pairSamples = 2, cpus = 32,
+        triples = 17108704L, excludeRun = "run-live", ctrlMin = 0.93,
+        clockLo = 0.95, clockHi = 1.15, membwLo = 0.80, membwHi = 1.30,
+        floorTol = 1.12)
+      assert(loaded.toSet == Set(good1, good2))
+      assert(qual.toSet == Set(good1, good2))
+      // the snapshot headline over the union is the TRUE median
+      assert(math.abs(Bench.median(qual.map(_.wall)) -
+        (good1.wall + good2.wall) / 2) < 1e-9)
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
+  test("ledgerUnion is empty when disabled or when the file is missing") {
+    val missing = java.nio.file.Paths.get("/tmp/graft-no-such-ledger.jsonl")
+    assert(Bench.ledgerUnion(missing, enabled = true,
+      Bench.MeasuredPathVersion, clockEq = true, pairSamples = 2, cpus = 32,
+      triples = 1L, excludeRun = "x", ctrlMin = 0.93, clockLo = 0.95,
+      clockHi = 1.15, membwLo = 0.80, membwHi = 1.30,
+      floorTol = 1.12) == ((Nil, Nil)))
+  }
+
   test("stray-bench sweep selects other Bench/BenchChild JVMs, never " +
       "itself, its own children/ancestors, non-JVM shells, or unrelated " +
       "processes") {
