@@ -51,10 +51,10 @@ object SparkEntry {
   val IvfProbe = 4
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    init(s).read.parquet(s"$dir/documents.parquet")
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    init(s).read.parquet(s"$dir/embeddings.parquet")
 
   /** documents ∪ identical copy (guaranteed exact duplicates). */
   private def corpusExact(s: SparkSession, dir: String): DataFrame = {

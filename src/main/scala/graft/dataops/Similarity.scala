@@ -34,13 +34,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns (deterministic fold). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two array<double> columns (deterministic fold).
+    * Round 6: the `zip_with`+`aggregate` higher-order form ran on the
+    * INTERPRETED lambda path — evaluated O(n²) times in the brute-force
+    * baseline it was ~98% of that query's time. Replaced by the
+    * whole-stage-codegen kernel [[graft.functions.VectorOps]], which
+    * computes the identical IEEE-754 fold (same order, same null
+    * semantics) with zero per-pair allocation.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorOps.cosineSim(a, b)
 
   private def prep(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"),
@@ -77,11 +80,13 @@ object Similarity {
     Seq.fill(nTables)(Seq.fill(nBits)(Array.fill(dim)(nextSign())))
   }
 
-  /** Sign bucket of one table: concat of sign bits of the hyperplane dots. */
+  /** Sign bucket of one table: concat of sign bits of the hyperplane dots.
+    * Same codegen-kernel swap as `cosine` (nBits × nTables = 128 dots per
+    * row were interpreted `zip_with`+`aggregate` folds).
+    */
   private def tableBucket(emb: Column, planes: Seq[Array[Double]]): Column =
     concat(planes.map { p =>
-      val dot = aggregate(
-        zip_with(emb, lit(p), (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+      val dot = graft.functions.VectorOps.vecDot(emb, lit(p))
       when(dot >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
@@ -144,13 +149,22 @@ object Similarity {
 
   private def recallVsExact(embeddings: DataFrame, approxTopK: DataFrame,
       k: Int): DataFrame = {
+    // ONE pass over the exact baseline (round 6): the round-5 shape
+    // referenced the brute-force subtree twice (once under the semi-join
+    // hit count, once under the n_queries/n_exact aggregate) and Spark
+    // planned the O(n²) pair join twice — measured as 2× the brute-force
+    // cost per recall query. A left join against the (unique-keyed)
+    // approximate top-k lets one aggregate produce all three counters:
+    // n_hits = count of matched rows ≡ the old left-semi count, because
+    // ranked() emits each (vec_id, neighbor_id) at most once.
     val exact = bruteForceTopK(embeddings, k).select("vec_id", "neighbor_id")
     val approx = approxTopK.select("vec_id", "neighbor_id")
-    val hits = exact.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
-    exact.agg(
-      countDistinct(col("vec_id")).as("n_queries"),
-      count(lit(1)).as("n_exact"))
-      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+    exact.join(approx.withColumn("hit", lit(1)),
+        Seq("vec_id", "neighbor_id"), "left")
+      .agg(
+        countDistinct(col("vec_id")).as("n_queries"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"),
+        count(lit(1)).as("n_exact"))
       .select(col("n_queries"), col("n_hits"), col("n_exact"),
         floor(col("n_hits") * 1000 / col("n_exact")).cast("int").as("recall_permille"))
   }

@@ -92,5 +92,6 @@ object FuzzRatio {
       "fuzz_ratio", exprs => FuzzRatioExpr(exprs(0), exprs(1)), "built-in")
     // the session-registration entry point for all graft native functions
     MentionExtract.register(spark)
+    VectorOps.register(spark)
   }
 }
