@@ -523,7 +523,11 @@ object Bench {
     * input generation/replication) — sampling-policy-only changes to Bench
     * keep it. Exact canonical-triple equality is the second guard.
     */
-  private[graft] val MeasuredPathVersion = "r05.1"
+  // r06.1: checkpoint column pruning in the measured pipeline (ts dropped
+  // from the wide mention form; kind dropped from the staged wide; score/
+  // fractie_id dropped from the staged link output) — resident block bytes
+  // changed, so r05.1 history pairs are no longer protocol-identical
+  private[graft] val MeasuredPathVersion = "r06.1"
 
   /** One completed scaling pair as persisted in the ledger. `ctrl` is the
     * min of the present brackets (same reading qualification uses).

@@ -64,6 +64,13 @@ object Extract {
     * flags (is_speaker/is_case/is_vote) and the typed fields of each kind.
     * NOTE: a single turn can carry several mention kinds — the flags are
     * independent, not a partition.
+    *
+    * Round 6: `ts` is no longer carried — no consumer of any mention view
+    * ever read it past the view projection, yet the pipeline CHECKPOINTED
+    * it with every wide row (8+ bytes/row of resident block bytes re-read
+    * by every downstream scan — pure memory-bus traffic, the one term that
+    * does not scale with cores on a socket; guide §2.3 "shuffle fewer
+    * bytes" applied to checkpoint blocks).
     */
   def mentionsWide(turns: DataFrame): DataFrame = {
     // ALL the per-turn regex work in ONE fused kernel call per row
@@ -75,11 +82,11 @@ object Extract {
     // procedural turns (P4) and turns with no valid mention (P5), so the
     // wide filter is a null check.
     turns
-      .select(col("conv_id"), col("turn_idx"), col("ts"),
+      .select(col("conv_id"), col("turn_idx"),
         graft.functions.MentionExtract.of(col("text")).as("m"))
       .where(col("m").isNotNull)
       .select(
-        col("conv_id"), col("turn_idx"), col("ts"),
+        col("conv_id"), col("turn_idx"),
         col("m.is_speaker").as("is_speaker"), col("m.kind").as("kind"),
         col("m.v_first").as("v_first"), col("m.v_last").as("v_last"),
         col("m.is_case").as("is_case"),
@@ -100,7 +107,7 @@ object Extract {
     */
   def speakersFrom(wide: DataFrame): DataFrame =
     wide.where(col("is_speaker"))
-      .select("conv_id", "turn_idx", "ts", "kind", "v_first", "v_last")
+      .select("conv_id", "turn_idx", "kind", "v_first", "v_last")
 
   /** Speaker view CARRYING the co-row case fields: the wide table is one
     * row per turn, so a turn's speaker mention and case mention are the
@@ -109,8 +116,11 @@ object Extract {
     * DISCUSSES derivation join-free (Pipeline.build).
     */
   def speakersWithCaseFrom(wide: DataFrame): DataFrame =
+    // pipeline-only view (the link stage drops everything but the mention
+    // key + carry columns): `kind` is not selected, so the pipeline can
+    // stage a kind-less wide checkpoint (Pipeline.build)
     wide.where(col("is_speaker"))
-      .select(col("conv_id"), col("turn_idx"), col("ts"), col("kind"),
+      .select(col("conv_id"), col("turn_idx"),
         col("v_first"), col("v_last"),
         col("dossier_nr"),
         when(col("is_case"), col("stuk_nr")).as("stuk_nr"))
@@ -118,15 +128,15 @@ object Extract {
   /** Case-mention view (reference xml_extractor.py:194-217). */
   def casesFrom(wide: DataFrame): DataFrame =
     wide.where(col("is_case"))
-      .select("conv_id", "turn_idx", "ts", "dossier_nr", "toevoeging", "stuk_nr")
+      .select("conv_id", "turn_idx", "dossier_nr", "toevoeging", "stuk_nr")
 
   /** Vote-utterance view (reference xml_extractor.py:219-257). */
   def votesFrom(wide: DataFrame): DataFrame =
     wide.where(col("is_vote"))
-      .select("conv_id", "turn_idx", "ts", "fractie_naam", "vote_norm")
+      .select("conv_id", "turn_idx", "fractie_naam", "vote_norm")
 
   /** Speaker mentions: four surface patterns. Output: (conv_id, turn_idx,
-    * ts, kind, v_first, v_last) with v_first = '' when the surface form
+    * kind, v_first, v_last) with v_first = '' when the surface form
     * carries no first name.
     */
   def speakerMentions(turns: DataFrame): DataFrame =
@@ -152,4 +162,18 @@ object Extract {
     */
   def voteMentions(turns: DataFrame): DataFrame =
     votesFrom(mentionsWide(turns))
+
+  /** Vote utterances WITH the event-time column — the one consumer of `ts`
+    * (the streaming watermarked window, StreamingPipeline.windowedVoteCounts)
+    * gets its own view instead of `ts` riding — and being checkpointed
+    * with — every batch-pipeline mention row.
+    */
+  def voteMentionsWithTs(turns: DataFrame): DataFrame =
+    turns
+      .select(col("conv_id"), col("turn_idx"), col("ts"),
+        graft.functions.MentionExtract.of(col("text")).as("m"))
+      .where(col("m").isNotNull && col("m.is_vote"))
+      .select(col("conv_id"), col("turn_idx"), col("ts"),
+        col("m.fractie_naam").as("fractie_naam"),
+        TextFunctions.normalizeVote(col("m.vote_raw")).as("vote_norm"))
 }

@@ -71,7 +71,15 @@ object Pipeline {
         // trade was A/B-rejected).
         graft.util.Ckpt(df)
     }
-    val wide = stage(Extract.mentionsWide(turns), "mentions")
+    // The staged wide table is PRUNED to the columns its three consumers
+    // actually read downstream (round 6, guide §2.3 applied to checkpoint
+    // blocks): `ts` is gone from the wide form entirely, and `kind` — only
+    // needed by the standalone speaker-mention queries, never by the
+    // pipeline (the link stage drops it) — is dropped before the
+    // checkpoint. Checkpoint blocks are re-scanned by every consumer, so
+    // dead columns are resident memory-bus bytes multiplied by the scan
+    // count — the per-node term that does not scale with cores.
+    val wide = stage(Extract.mentionsWide(turns).drop("kind"), "mentions")
     // The wide table is one row per turn, so a turn's speaker and case
     // mentions are the SAME row: zaak-link the case columns in place
     // (broadcast tiers, no shuffle) and CARRY the result through the
@@ -83,7 +91,12 @@ object Pipeline {
       .drop("z_score")
     val linkedRaw = observeLink(Link.linkPersons(speakersZ, Dict.personsDf(spark),
       carry = Seq("z_entity_id", "z_match_type")))
-    val linkedPersons = stage(linkedRaw, "linked_persons")
+    // Same pruning for the linked checkpoint: `score` and `fractie_id` are
+    // dead past the link stage (triples build MEMBER_OF from the persons
+    // dim; canonicalize reads surname/persoon columns; GraftApp's counters
+    // read match_type) — they were checkpointed and re-scanned 3× per run.
+    val linkedPersons = stage(linkedRaw.drop("score", "fractie_id"),
+      "linked_persons")
     val linkedZaken = Link.linkZaken(Extract.casesFrom(wide),
       Dict.zakenDf(spark), Dict.dossiersDf(spark), Dict.documentsDf(spark))
     val votes = Extract.votesFrom(wide)

@@ -76,7 +76,7 @@ object StreamingPipeline {
     * 2-hour watermark.
     */
   def windowedVoteCounts(turns: DataFrame): DataFrame =
-    Extract.voteMentions(turns)
+    Extract.voteMentionsWithTs(turns)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("fractie_naam"))
       .agg(count(lit(1)).as("n_votes"))
