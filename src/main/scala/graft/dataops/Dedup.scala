@@ -39,18 +39,31 @@ object Dedup {
 
   /** Word 3-gram shingles with h32 hashes: (doc_id, sh) distinct.
     * Lowercased, whitespace-split; shingle = 3 consecutive words.
+    *
+    * Round 6 (guide §2.4 — remove shuffles outright): the round-5 form
+    * fetched the following words with `lead(…, i)` windows, which cost an
+    * exchange on doc_id plus a per-doc sort of the EXPLODED word table
+    * before a single shingle was hashed — in every consumer (minhash,
+    * jaccard, dup-ratio, fingerprint, the composed pipeline). The word
+    * array is row-local data: keeping the split array alongside
+    * `posexplode` makes the following words indexed `element_at` lookups
+    * inside the same whole-stage-codegen span — no exchange, no sort, no
+    * lambda. Row set is identical: position i emits a shingle iff i+n−1
+    * is still inside the array ⟺ `lead(word, n−1)` was non-null (split
+    * elements are never null), and the hash input is the same
+    * space-joined string, so the downstream `distinct` sees the same
+    * (doc_id, sh) pairs.
     */
   def shingles(documents: DataFrame, n: Int = 3): DataFrame = {
     val words = documents
-      .select(col("doc_id"),
-        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "word")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val withNext = (1 until n).foldLeft(words) { (df, i) =>
-      df.withColumn(s"w$i", lead("word", i).over(w))
-    }
-    val parts = col("word") +: (1 until n).map(i => col(s"w$i"))
-    withNext
-      .where(parts.last.isNotNull)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("arr"))
+      .select(col("doc_id"), col("arr"),
+        posexplode(col("arr")).as(Seq("pos", "word")))
+    // element_at is 1-based: 0-based pos + offset i ⇒ element_at(pos+i+1)
+    val parts = col("word") +:
+      (1 until n).map(i => element_at(col("arr"), col("pos") + (i + 1)))
+    words
+      .where(col("pos") <= size(col("arr")) - n)
       .select(col("doc_id"), h32(concat_ws(" ", parts: _*)).as("sh"))
       .distinct()
   }
