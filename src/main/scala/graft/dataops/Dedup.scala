@@ -216,27 +216,37 @@ object Dedup {
 
   // ---- SimHash -----------------------------------------------------------
 
-  /** 32-bit SimHash over word unigrams, computed relationally: explode
-    * (token × 32 bit positions) → signed sums → reassemble. No 32-column
-    * codegen blowup, and the bit-position explode is a constant ×32 map —
-    * partial aggregation keeps the shuffle at (doc × 32) rows.
+  /** 32-bit SimHash over word unigrams, computed relationally as 32 signed
+    * bit sums in ONE aggregation pass.
+    *
+    * Round 6 (guide §2.3 — aggregate before you shuffle / shuffle fewer
+    * bytes): the round-5 form exploded every distinct (doc, token) row ×32
+    * bit positions and aggregated twice — the (doc_id, bit) exchange
+    * carried 32× the token rows, and a second exchange re-grouped by
+    * doc_id. The bit position is a compile-time constant: 32 parallel
+    * `sum(case …)` aggregates (the exact pattern `minhashSignatures` uses
+    * for its 12 permutations) partial-combine map-side and shuffle 32
+    * longs per DOCUMENT, in a single exchange. Same arithmetic, same
+    * groups: bit b's sum over a doc's tokens and the sign rule
+    * `s_b > 0 → set bit b` are unchanged, so the simhash value is
+    * bit-identical to the oracle mirror.
     */
   def simhash(documents: DataFrame): DataFrame = {
     val tokens = documents
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
       .withColumn("h", h32(col("word")))
-    val bits = tokens.select(col("doc_id"), col("cnt"), col("h"),
-      explode(lit((0 until 32).toArray)).as("bit"))
-    bits
-      .groupBy("doc_id", "bit")
-      // the DSL's shiftright/shiftleft only take literal shift amounts; the
-      // underlying expressions accept a column — go through SQL text
-      .agg(sum(when(expr("shiftright(h, bit) & 1") === 1,
-        col("cnt")).otherwise(-col("cnt"))).as("s"))
+    val bitSums = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s_$b")
+    }
+    tokens
       .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, bit)"))
-        .otherwise(0L)).as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b =>
+          when(col(s"s_$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs: 8-bit band join (4 bands over 32 bits — any pair

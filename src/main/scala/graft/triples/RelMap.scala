@@ -53,30 +53,55 @@ object RelMap {
     * Subject key comes from the parent columns, or (with `subjChildField`)
     * from the level-1 child struct — the shape of child-keyed edges like
     * attachment→chunk.
+    *
+    * Round 6 (guide §2.4): the round-5 form unioned one SELECT per spec —
+    * Catalyst planned a separate scan of the parent subtree (and a
+    * separate evaluation of any synthetic child-collection expressions)
+    * for every branch: 4 specs over the expanded turn entity meant 4
+    * parquet scans + 4 per-conversation windows + 2 evaluations of the
+    * md5-heavy attachments builder in one query, with no exchange reuse
+    * (per-branch column pruning makes the subtrees non-identical).
+    * Each spec now contributes a row-local array<struct<subj,pred,obj>>
+    * and ONE explode over their concatenation emits every edge from a
+    * single pass. Same multiset of rows: per spec, the array holds
+    * exactly the rows its branch produced (the `ok` flag reproduces the
+    * old `_key IS NOT NULL` filter; a null child collection contributes
+    * a typed empty array, matching the old explode-of-null no-op).
     */
-  def edges(parent: DataFrame, specs: Seq[RelSpec]): DataFrame =
-    specs.map { sp =>
+  def edges(parent: DataFrame, specs: Seq[RelSpec]): DataFrame = {
+    val branches: Seq[org.apache.spark.sql.Column] = specs.map { sp =>
       val parentSubj = concat_ws(":", (lit(sp.subjPrefix) +: sp.subjCols.map(col)): _*)
-      val keyed = (sp.childArray, sp.childArray2) match {
+      def edge(subj: org.apache.spark.sql.Column,
+          key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        struct(subj.as("subj"), lit(sp.pred).as("pred"),
+          concat_ws(":", lit(sp.objPrefix), key).as("obj"),
+          key.isNotNull.as("ok"))
+      // typed empty array of the edge-struct shape (null child collection)
+      def emptyLike(sample: org.apache.spark.sql.Column) =
+        slice(array(sample), 1, 0)
+      (sp.childArray, sp.childArray2) match {
         case (Some(arr), Some(arr2)) =>
-          val subj = sp.subjChildField match {
-            case Some(f) => concat_ws(":", lit(sp.subjPrefix), col(s"_child.$f"))
-            case None => col("_psubj")
+          def subjOf(c: org.apache.spark.sql.Column) = sp.subjChildField match {
+            case Some(f) => concat_ws(":", lit(sp.subjPrefix), c.getField(f))
+            case None => parentSubj
           }
-          parent
-            .select(parentSubj.as("_psubj"), explode(col(arr)).as("_child"))
-            .select(subj.as("subj"), explode(col(s"_child.$arr2")).as("_child2"))
-            .select(col("subj"), col(s"_child2.${sp.objField}").as("_key"))
+          val nested = flatten(transform(col(arr), c =>
+            coalesce(transform(c.getField(arr2),
+              c2 => edge(subjOf(c), c2.getField(sp.objField))),
+              emptyLike(edge(subjOf(c), lit(null))))))
+          coalesce(nested, emptyLike(edge(parentSubj, lit(null))))
         case (Some(arr), None) =>
-          parent
-            .select(parentSubj.as("subj"), explode(col(arr)).as("_child"))
-            .select(col("subj"), col(s"_child.${sp.objField}").as("_key"))
+          coalesce(
+            transform(col(arr), c => edge(parentSubj, c.getField(sp.objField))),
+            emptyLike(edge(parentSubj, lit(null))))
         case _ =>
-          parent.select(parentSubj.as("subj"), col(sp.objField).as("_key"))
+          array(edge(parentSubj, col(sp.objField)))
       }
-      keyed
-        .where(col("_key").isNotNull)
-        .select(col("subj"), lit(sp.pred).as("pred"),
-          concat_ws(":", lit(sp.objPrefix), col("_key")).as("obj"))
-    }.reduce(_ unionByName _)
+    }
+    parent
+      .select(explode(concat(branches: _*)).as("_e"))
+      .where(col("_e.ok"))
+      .select(col("_e.subj").as("subj"), col("_e.pred").as("pred"),
+        col("_e.obj").as("obj"))
+  }
 }
