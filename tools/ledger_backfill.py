@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--pair-samples", type=int, default=None,
                     help="per-side sample count at launch; omit to use the "
                          "artifact's own pair_samples field (round 5+)")
+    ap.add_argument("--cpus", type=int, default=None,
+                    help="SPARK_GRAFT_CPUS at launch; omit to derive from "
+                         "the artifact's highest total_sec_min@N level key")
     args = ap.parse_args()
 
     seen = set()
@@ -83,6 +86,23 @@ def main():
                              f"field; pass --pair-samples from the run's "
                              f"verified launch env")
                 samples = int(q["pair_samples"])
+            # ADVICE r5: cpus was hardcoded to 32 — a backfilled run
+            # launched with a different SPARK_GRAFT_CPUS would get a wrong
+            # protocol stamp and wrongly pass/fail future cpu-identity
+            # merges. Derive it from the artifact's own level keys (the
+            # highest total_sec_min@N / min_sec@N level IS the cpu count),
+            # or take the explicit flag; refuse when neither is available.
+            cpus = args.cpus
+            if cpus is None:
+                levels = [int(m.group(1)) for k in q
+                          for m in [re.match(r"(?:total_sec|min_sec|"
+                                             r"total_sec_min)@(\d+)$", k)]
+                          if m]
+                if not levels:
+                    sys.exit(f"{path}: no @N level keys to derive cpus "
+                             f"from; pass --cpus from the run's verified "
+                             f"launch env")
+                cpus = max(levels)
             ts = int(os.path.getmtime(path) * 1000)
             for p in pairs_from_artifact(art):
                 key = (run, round(p["lo_min"], 4), round(p["hi_min"], 4))
@@ -94,7 +114,7 @@ def main():
                     "proto": args.proto,
                     "clock_eq": int(q.get("clock_equalized", 0)),
                     "pair_samples": samples,
-                    "cpus": 32,
+                    "cpus": cpus,
                     "triples": int(q["canonical_triples"]),
                     **{k: round(v, 4) for k, v in p.items()},
                 }
